@@ -1,0 +1,536 @@
+"""Operator inventory as (Spark builder, DuckDB oracle SQL) pairs.
+
+Each registry entry implements one operator family from SURVEY.md §2
+over the driver-provided testdata tables. The Spark side is built with
+the DataFrame API (declarative → Catalyst optimizes); the oracle side
+is ANSI SQL that DuckDB runs on the same parquet files. Column names
+are aliased identically on both sides (driver hashes values after
+sorting columns by name).
+
+Float discipline: sums/avgs over DOUBLE columns are computed as
+DECIMAL(38,6) (exact, associative — immune to partial-agg ordering)
+and cast back to DOUBLE, on BOTH sides, so value hashes match.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+    survey_ref: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", survey_ref: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, doc, survey_ref)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec_sum(col, alias, scale=6):
+    """Exact decimal sum cast back to double — deterministic across engines."""
+    return F.sum(col.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: double-entry balance ledger (SURVEY §7.4; ref enrich/sqls/balances.sql:1-58)
+# UNION ALL of signed projections (U1) + null/status filters (P8) +
+# re-typing (P2) + groupBy-sum (A1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "balances_ledger",
+    oracle="""
+    WITH ledger AS (
+        SELECT user_id AS account,
+               CAST(value AS DECIMAL(38,6)) AS amount
+        FROM events WHERE event_type IN ('purchase','signup')
+        UNION ALL
+        SELECT user_id AS account,
+               -CAST(value AS DECIMAL(38,6)) AS amount
+        FROM events WHERE event_type = 'error' AND value IS NOT NULL
+    )
+    SELECT account, CAST(SUM(amount) AS DOUBLE) AS balance
+    FROM ledger GROUP BY account
+    """,
+    doc="double-entry ledger: union of signed projections then sum per account",
+    survey_ref="enrich/sqls/balances.sql:1-58 (U1, P8, A1, P2)",
+)
+def balances_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    credits = ev.where(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("user_id").alias("account"),
+        F.col("value").cast("decimal(38,6)").alias("amount"),
+    )
+    debits = ev.where((F.col("event_type") == "error") & F.col("value").isNotNull()).select(
+        F.col("user_id").alias("account"),
+        (-F.col("value").cast("decimal(38,6)")).alias("amount"),
+    )
+    return (
+        credits.unionByName(debits)
+        .groupBy("account")
+        .agg(F.sum("amount").cast("double").alias("balance"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1/A3/A6 pricing summary (TPC-H Q1 shape) — partial+final hash agg
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="groupBy two cols + exact-decimal sums + count",
+    survey_ref="SURVEY §2.4 A1/A3; verify/sqls pattern",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(38,6)")
+    price = F.col("l_extendedprice").cast("decimal(38,6)")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: 3-way inner equi-join with projection+rename (ref enrich/sqls/transactions.sql)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "enrich_three_way_join",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation_name,
+           o.o_orderkey AS orderkey,
+           CAST(o.o_totalprice AS DECIMAL(38,6)) AS total_price,
+           CAST(o.o_orderdate AS DATE) AS order_date
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    doc="3-way inner equi-join, projection + rename + re-typing",
+    survey_ref="enrich/sqls/transactions.sql:27-29 (J1, P1, P2)",
+)
+def enrich_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .where(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").cast("decimal(38,6)").alias("total_price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: aggregating join (ref enrich/sqls/balances.sql:21-28 fee debits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aggregating_join",
+    oracle="""
+    SELECT o.o_custkey AS custkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+    """,
+    doc="join then groupBy-sum (fee-debit pattern)",
+    survey_ref="enrich/sqls/balances.sql:21-28 (J3)",
+)
+def aggregating_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: FULL OUTER JOIN ... USING + COALESCE (ref enrich/sqls/amended_tokens.sql:26-30)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_coalesce",
+    oracle="""
+    WITH cust AS (
+        SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+        FROM customer GROUP BY c_nationkey
+    ), supp AS (
+        SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+        FROM supplier GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nationkey, supp.nationkey) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
+    """,
+    doc="full outer join with COALESCE preference (amendments pattern)",
+    survey_ref="enrich/sqls/amended_tokens.sql:23-30 (J4); build_partition_dag.py:217-220 (J5)",
+)
+def full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, ["nationkey"], "full_outer").select(
+        F.col("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/P6: semi-join via IN-subquery (ref parse_logs.sql:18-25 contract-address sets)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semi_join_in_subquery",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey,
+           CAST(o_totalprice AS DECIMAL(38,6)) AS total_price
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="IN-subquery as left-semi join",
+    survey_ref="parse/sqls/parse_logs.sql:18-25 (J7, P6)",
+)
+def semi_join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("decimal(38,6)").alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: MERGE "NOT MATCHED BY SOURCE" relational core (SURVEY §2.3 note)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_join_not_matched",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS cust_name
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders
+        WHERE o_orderstatus = 'F' AND o_custkey IS NOT NULL
+    )
+    """,
+    doc="left-anti join (rows in target absent from source)",
+    survey_ref="SURVEY §2.3 (MERGE NOT MATCHED BY SOURCE = anti-join)",
+)
+def anti_join_not_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("cust_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: ORDER BY + LIMIT top-k with deterministic tie-break (ref ether_balances.sql:27-29)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_k_accounts",
+    oracle="""
+    SELECT account, balance FROM (
+        SELECT user_id AS account,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS balance
+        FROM events GROUP BY user_id
+    ) ORDER BY balance DESC, account ASC LIMIT 10
+    """,
+    doc="rich-list: order by agg desc limit 10 (TakeOrderedAndProject)",
+    survey_ref="sqls/ether_balances.sql:27-29 (W1)",
+)
+def top_k_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("account"))
+        .agg(_dec_sum(F.col("value"), "balance"))
+        .orderBy(F.desc("balance"), F.asc("account"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: gap-free key-range invariant (ref verify_streaming/sqls/blocks_count.sql:1-8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_check_invariant",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           (COUNT(*) = COUNT(DISTINCT o_orderkey)) AS no_dups
+    FROM orders
+    """,
+    doc="count/min/max/countDistinct completeness invariant",
+    survey_ref="verify_streaming/sqls/blocks_count.sql:1-8 (A3, A4)",
+)
+def gap_check_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.countDistinct("o_orderkey").alias("n_distinct"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("no_dups"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: GROUP BY + HAVING dense-sequence check (ref verify/sqls/logs_count.sql:4-9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "having_dense_sequence",
+    oracle="""
+    SELECT l_orderkey AS orderkey, COUNT(*) AS n_lines, MAX(l_linenumber) AS max_line
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING MAX(l_linenumber) <> COUNT(*)
+    """,
+    doc="groups violating max(seq) == count(*) (dense per-group sequence)",
+    survey_ref="verify/sqls/logs_count.sql:4-9 (A7)",
+)
+def having_dense_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(F.count("*").alias("n_lines"), F.max("l_linenumber").alias("max_line"))
+        .where(F.col("max_line") != F.col("n_lines"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 made deterministic: first-by-key dedup (ref amended_tokens.sql:3-10 ANY_VALUE)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_first_by_key",
+    oracle="""
+    SELECT doc_id, text, lang, source FROM (
+        SELECT doc_id, text, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    doc="deterministic ANY_VALUE: row_number() = 1 by explicit order",
+    survey_ref="amended_tokens.sql:3-10 (A2); SURVEY §7.3 determinism note",
+)
+def dedup_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang", "source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 via window: adjacent-row lookup (ref uniswap_v2_swaps_with_slippage.sql:28-29
+# self-join on log_index-1 — idiomatic Spark = lag window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "adjacent_event_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(value AS DECIMAL(38,6)) AS value_dec,
+           CAST(LAG(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS prev_value
+    FROM events
+    """,
+    doc="adjacent-row lookup as lag() window instead of self-join on seq-1",
+    survey_ref="uniswap_v2_swaps_with_slippage.sql:28-29 (J8 → W)",
+)
+def adjacent_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    vdec = F.col("value").cast("decimal(38,6)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        vdec.alias("value_dec"),
+        F.lag(vdec).over(w).cast("double").alias("prev_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC LWW fold over an ordered change feed (the north rule's core semantics,
+# expressed relationally so the DuckDB oracle can check it;
+# ref parse/sqls/merge_table.sql:1-15 + build_load_dag_redshift.py:107-119)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_lww_fold",
+    oracle="""
+    SELECT user_id AS doc_id, event_id AS seq,
+           event_type AS op, CAST(value AS DECIMAL(38,6)) AS payload
+    FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="last-writer-wins fold: latest change per key, deletes drop the key",
+    survey_ref="merge_table.sql:1-15 (M1); redshift delete-insert (M2); §2.10 LWW dedup",
+)
+def cdc_lww_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            F.col("user_id").alias("doc_id"),
+            F.col("event_id").alias("seq"),
+            F.col("event_type").alias("op"),
+            F.col("value").cast("decimal(38,6)").alias("payload"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2: stitch view — history(≤cut) ∪ live(>cut) with complementary predicates
+# (ref parse/sqls/stitch_view.sql:1-7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stitch_history_live",
+    oracle="""
+    SELECT event_id, user_id, event_type, 'history' AS segment
+    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-03-01'
+    UNION ALL
+    SELECT event_id, user_id, event_type, 'live' AS segment
+    FROM events WHERE CAST(ts AS DATE) > DATE '2024-03-01'
+    """,
+    doc="UNION ALL with complementary date predicates (merge-on-read stitch)",
+    survey_ref="parse/sqls/stitch_view.sql:1-7 (U2)",
+)
+def stitch_history_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-03-01").cast("date")
+    hist = ev.where(F.col("ts").cast("date") <= cut).select(
+        "event_id", "user_id", "event_type", F.lit("history").alias("segment")
+    )
+    live = ev.where(F.col("ts").cast("date") > cut).select(
+        "event_id", "user_id", "event_type", F.lit("live").alias("segment")
+    )
+    return hist.unionByName(live)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions bundle: JSON extraction, date trunc, conditional, string
+# (ref §2.8: get_json_object, TIMESTAMP_TRUNC, CASE WHEN, LOWER/STARTS_WITH)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_functions_bundle",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+           event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CASE WHEN value > 100 THEN 'big' ELSE 'small' END AS size_class,
+           UPPER(event_type) AS event_type_uc,
+           (event_type LIKE 'p%') AS starts_with_p,
+           event_id
+    FROM events
+    WHERE event_type IS NOT NULL
+    """,
+    doc="JSON extract + date_trunc + CASE + string funcs in one projection",
+    survey_ref="SURVEY §2.8 (JSON, date, conditional, string rows)",
+)
+def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("event_type").isNotNull()).select(
+        F.date_trunc("day", "ts").cast("date").alias("event_date"),
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.when(F.col("value") > 100, "big").otherwise("small").alias("size_class"),
+        F.upper("event_type").alias("event_type_uc"),
+        F.col("event_type").startswith("p").alias("starts_with_p"),
+        "event_id",
+    )
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
