@@ -1,0 +1,278 @@
+"""Snapshot-versioned, hash-bucketed table — an Iceberg-lite sink.
+
+The north rule targets Iceberg; the sandbox image has no Iceberg jar,
+so this module provides the same contract behind a seam (SURVEY §7.3):
+
+  * atomic snapshot commits (write files -> write manifest -> atomic
+    pointer rename), the analogue of the reference's temp-table +
+    WRITE_TRUNCATE publish (build_load_dag.py:174-182) and of an
+    Iceberg snapshot commit;
+  * per-bucket file manifests: the table is hash-bucketed by
+    ``pmod(xxhash64(doc_id), num_buckets)`` (reference:
+    ``MOD(ABS(FARM_FINGERPRINT(key)), 3999)``, build_partition_dag.py:119)
+    and a MERGE rewrites ONLY touched buckets (copy-on-write at bucket
+    granularity — merge cost scales with batch keys, not table size);
+  * exactly-once epoch fencing: the manifest carries
+    ``last_epoch:<app_id>`` exactly like Iceberg snapshot-property
+    fencing (``snapshot.summary['epoch']``; reference analogue:
+    parse_state_manager.py:88-116 optimistic lock + _last_ds monotone
+    check);
+  * schema evolution: the manifest stores the current schema; commits
+    may add nullable columns / widen int->long, and every scan reads
+    old files through the current schema (parquet reader fills missing
+    columns with null and widens int32->int64 natively).
+
+Swap-in path for real Iceberg: replace ``commit_merge`` internals with
+``MERGE INTO`` + snapshot properties; the public API is unchanged.
+
+The bucket value is a pure function of doc_id, so it is never stored —
+it is recomputed on read when needed (no partition-column plumbing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ethereum_etl_airflow_spark.config import NUM_BUCKETS
+
+VERSION_FILE = "VERSION"
+
+
+def bucket_expr(doc_id_col, num_buckets: int):
+    """Salted hash bucket: pmod(xxhash64(key), B) — Spark's stable 64-bit
+    hash standing in for BigQuery FARM_FINGERPRINT (SURVEY §2.2 P10)."""
+    return F.pmod(F.xxhash64(doc_id_col), F.lit(num_buckets)).cast("int")
+
+
+class SnapshotTable:
+    """A keyed, snapshot-versioned table on a Hadoop-compatible FS."""
+
+    def __init__(self, spark: SparkSession, root: str, num_buckets: int = NUM_BUCKETS):
+        self.spark = spark
+        self.root = root
+        self.num_buckets = num_buckets
+        self._meta = os.path.join(root, "_meta")
+        self._data = os.path.join(root, "data")
+
+    # ------------------------------------------------------------------ meta
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self._meta, VERSION_FILE))
+
+    def current_version(self) -> int:
+        try:
+            with open(os.path.join(self._meta, VERSION_FILE)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def snapshot(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v < 0:
+            return {
+                "version": -1,
+                "schema": None,
+                "num_buckets": self.num_buckets,
+                "bucket_files": {},
+                "properties": {},
+                "lineage": None,
+            }
+        with open(os.path.join(self._meta, f"snapshot-{v:012d}.json")) as f:
+            return json.load(f)
+
+    def schema(self) -> T.StructType | None:
+        snap = self.snapshot()
+        return T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
+
+    def last_epoch(self, app_id: str) -> int:
+        return int(self.snapshot()["properties"].get(f"last_epoch:{app_id}", -1))
+
+    def _publish(self, snap: dict) -> None:
+        """Manifest write + atomic pointer swap (the WRITE_TRUNCATE copy
+        publish of build_load_dag.py:174-182, made atomic via rename)."""
+        os.makedirs(self._meta, exist_ok=True)
+        v = snap["version"]
+        path = os.path.join(self._meta, f"snapshot-{v:012d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+        os.replace(tmp, path)
+        vtmp = os.path.join(self._meta, f"{VERSION_FILE}.tmp-{uuid.uuid4().hex}")
+        with open(vtmp, "w") as f:
+            f.write(str(v))
+        os.replace(vtmp, os.path.join(self._meta, VERSION_FILE))
+
+    # ------------------------------------------------------------------ read
+
+    def _files(self, buckets: list[int] | None = None) -> list[str]:
+        snap = self.snapshot()
+        keys = [str(b) for b in buckets] if buckets is not None else list(snap["bucket_files"])
+        out: list[str] = []
+        for k in keys:
+            out.extend(os.path.join(self.root, rel) for rel in snap["bucket_files"].get(k, []))
+        return out
+
+    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+        """Scan the current snapshot (optionally pruned to a bucket list)
+        through the CURRENT schema — old files gain null columns /
+        widened ints transparently. Includes tombstone rows (deleted
+        keys retained with their seq so late stale events cannot
+        resurrect them — Kafka-compaction-style)."""
+        schema = self.schema()
+        files = self._files(buckets)
+        if schema is None or not files:
+            empty_schema = schema or T.StructType([T.StructField("doc_id", T.StringType())])
+            return self.spark.createDataFrame([], empty_schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Consumer-facing scan: tombstones filtered out."""
+        df = self.read_raw(buckets)
+        if "_tombstone" in df.columns:
+            df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+        return df
+
+    # ----------------------------------------------------------------- write
+
+    @staticmethod
+    def _evolve_schema(old: T.StructType | None, batch: T.StructType) -> T.StructType:
+        """Union of old and batch schemas: new columns appended nullable,
+        IntegerType widened to LongType when either side is long
+        (reference: adjust_schema_for_kovan widening, build_load_dag.py:364-371;
+        ignore_unknown_values tolerance, :105)."""
+        if old is None:
+            return batch
+        fields: dict[str, T.StructField] = {f.name: f for f in old.fields}
+        for bf in batch.fields:
+            of = fields.get(bf.name)
+            if of is None:
+                fields[bf.name] = T.StructField(bf.name, bf.dataType, True)
+            elif isinstance(of.dataType, T.IntegerType) and isinstance(bf.dataType, T.LongType):
+                fields[bf.name] = T.StructField(bf.name, T.LongType(), True)
+        return T.StructType(list(fields.values()))
+
+    def commit_merge(
+        self,
+        merged_by_bucket: DataFrame,
+        touched_buckets: list[int],
+        app_id: str,
+        epoch: int,
+        lineage: dict | None = None,
+        new_schema: T.StructType | None = None,
+    ) -> dict:
+        """Publish a merge result: ``merged_by_bucket`` holds the complete
+        new content of ``touched_buckets`` (with a ``_bucket`` column);
+        untouched buckets carry their previous file lists forward.
+
+        Caller (operators/cdc.py) is responsible for the MERGE semantics;
+        this layer only guarantees atomicity + fencing.
+        """
+        prev = self.snapshot()
+        commit_id = uuid.uuid4().hex
+        out_dir = os.path.join(self._data, commit_id)
+
+        n_out = max(1, min(len(touched_buckets), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        (
+            merged_by_bucket.repartition(n_out, "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+
+        # collect the files each bucket landed in
+        bucket_files = dict(prev["bucket_files"])
+        written = {str(b): [] for b in touched_buckets}
+        if os.path.isdir(out_dir):
+            for entry in os.listdir(out_dir):
+                if not entry.startswith("_bucket="):
+                    continue
+                b = entry.split("=", 1)[1]
+                rel_dir = os.path.relpath(os.path.join(out_dir, entry), self.root)
+                files = [
+                    os.path.join(rel_dir, fn)
+                    for fn in os.listdir(os.path.join(out_dir, entry))
+                    if fn.endswith(".parquet")
+                ]
+                written.setdefault(b, []).extend(files)
+        for b in touched_buckets:
+            # empty result for a bucket (all rows deleted) -> no files
+            bucket_files[str(b)] = written.get(str(b), [])
+            if not bucket_files[str(b)]:
+                bucket_files.pop(str(b), None)
+
+        schema = new_schema or self.schema()
+        if schema is None:
+            raise ValueError("commit_merge needs a schema for the first commit")
+        props = dict(prev["properties"])
+        props[f"last_epoch:{app_id}"] = epoch
+        snap = {
+            "version": prev["version"] + 1,
+            "parent_version": prev["version"],
+            "committed_at": time.time(),
+            "schema": schema.jsonValue(),
+            "num_buckets": self.num_buckets,
+            "bucket_files": bucket_files,
+            "properties": props,
+            "lineage": lineage or {},
+        }
+        self._publish(snap)
+        return snap
+
+    def expire_tombstones(self, watermark_seq: int, app_id: str = "maintenance") -> dict:
+        """Physically drop tombstones with ``_seq < watermark_seq`` — safe
+        once the feed guarantees no event older than the watermark can
+        still arrive (the reference's partition GC, build_clean_dag.py:99-115,
+        and its 72h TTL side tables, build_partition_dag.py:113-115)."""
+        live = self.read_raw().where(
+            ~(
+                F.coalesce(F.col("_tombstone"), F.lit(False))
+                & (F.col("_seq") < F.lit(watermark_seq))
+            )
+        )
+        all_buckets = [int(b) for b in self.snapshot()["bucket_files"]]
+        merged = live.withColumn("_bucket", bucket_expr(F.col("doc_id"), self.num_buckets))
+        return self.commit_merge(
+            merged,
+            all_buckets,
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            lineage={"op": "expire_tombstones", "watermark_seq": watermark_seq},
+        )
+
+    # ------------------------------------------------------------- retention
+
+    def expire_snapshots(self, keep_last: int = 2) -> int:
+        """Drop manifests older than the last ``keep_last`` and GC data
+        files no live manifest references (reference: build_clean_dag.py
+        partition GC, M3)."""
+        cur = self.current_version()
+        if cur < 0:
+            return 0
+        live_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        referenced: set[str] = set()
+        for v in live_versions:
+            p = os.path.join(self._meta, f"snapshot-{v:012d}.json")
+            if os.path.exists(p):
+                with open(p) as f:
+                    for files in json.load(f)["bucket_files"].values():
+                        referenced.update(files)
+        removed = 0
+        for dirpath, _dirnames, filenames in os.walk(self._data):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    os.remove(full)
+                    removed += 1
+        for entry in os.listdir(self._meta):
+            if entry.startswith("snapshot-"):
+                v = int(entry.split("-")[1].split(".")[0])
+                if v not in live_versions:
+                    os.remove(os.path.join(self._meta, entry))
+        return removed

@@ -1,0 +1,148 @@
+"""Change-log tailer: the Structured-Streaming replacement for the
+reference's Airflow sensor + load DAG loop.
+
+Two drive modes over the same ``apply_changes`` core:
+
+  * ``run_stream`` — ``readStream`` file source over the feed directory
+    (the file source IS the reference's GCSObjectExistenceSensor,
+    build_load_dag.py:83-91) with ``foreachBatch`` + Spark checkpoint.
+    Exactly-once = Spark checkpoint (offset tracking) + snapshot epoch
+    fencing (a batch replayed after crash-recovery is skipped by the
+    sink — the Iceberg (app_id, epoch) pattern, SURVEY §2.10).
+  * ``replay_batches`` — deterministic batch loop over
+    ``feed/batch_id=N`` directories (the reference's daily ``ds``
+    cadence). Resume needs no extra state: the table's last committed
+    epoch is the checkpoint, so restarting from batch 0 fast-skips
+    applied epochs. Handles mid-stream schema evolution (each batch
+    directory is read with its own schema).
+
+Every applied batch appends one lineage row (source offset range,
+event counts, snapshot version, wall time, events/sec) to an
+append-only parquet sink — the reference's load_metadata table
+(build_load_dag.py:236-268, S12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import SparkSession
+
+from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+
+class ChangeLogTailer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        feed_dir: str,
+        table_root: str,
+        app_id: str = "cdc",
+        num_buckets: int | None = None,
+        lineage_dir: str | None = None,
+        verify: bool = True,
+    ):
+        self.spark = spark
+        self.feed_dir = feed_dir
+        kwargs = {"num_buckets": num_buckets} if num_buckets else {}
+        self.table = SnapshotTable(spark, table_root, **kwargs)
+        self.app_id = app_id
+        self.lineage_dir = lineage_dir or os.path.join(table_root, "_lineage")
+        self.verify = verify
+        self.applied: list[dict] = []
+
+    # ------------------------------------------------------------- lineage
+
+    def _record_lineage(self, lineage: dict) -> None:
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        app = lineage["app_id"].replace(":", "_")
+        path = os.path.join(self.lineage_dir, f"epoch-{app}-{lineage['epoch']:012d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lineage, f)
+        os.replace(tmp, path)
+        self.applied.append(lineage)
+
+    def lineage(self):
+        """Lineage as a DataFrame (queryable metadata table)."""
+        return self.spark.read.json(os.path.join(self.lineage_dir, "epoch-*.json"))
+
+    def total_events_per_sec(self) -> float | None:
+        total_ev = sum(li["events_in"] for li in self.applied)
+        total_s = sum(li["wall_sec"] for li in self.applied)
+        return round(total_ev / total_s, 2) if total_s else None
+
+    # ------------------------------------------------------- batch replay
+
+    def replay_batches(self, start: int = 0, end: int | None = None) -> list[dict]:
+        """Apply feed batches in order; fenced epochs are skipped, so a
+        resumed/replayed run converges to the same final state."""
+        batch_dirs = sorted(
+            (int(m.group(1)), os.path.join(self.feed_dir, d))
+            for d in os.listdir(self.feed_dir)
+            if (m := re.match(r"batch-(\d+)$", d))
+        )
+        results = []
+        for batch_id, path in batch_dirs:
+            if batch_id < start or (end is not None and batch_id > end):
+                continue
+            batch_df = self.spark.read.parquet(path)
+            lineage = apply_changes(
+                self.table, batch_df, self.app_id, epoch=batch_id, verify=self.verify
+            )
+            if lineage is not None:
+                self._record_lineage(lineage)
+                results.append(lineage)
+        return results
+
+    # ---------------------------------------------------------- streaming
+
+    def run_stream(
+        self,
+        checkpoint_dir: str,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+    ):
+        """Structured Streaming drive: file source -> foreachBatch apply.
+
+        Spark's checkpoint makes batch replay after failure possible;
+        the epoch fence in the sink makes it harmless (exactly-once).
+        Epochs are Spark's monotone per-checkpoint ``batchId``, fenced
+        under the ``<app_id>:stream`` namespace so resumes of the same
+        checkpoint skip already-committed batches. Note the MERGE
+        itself is idempotent at event level (same (doc_id, seq) ->
+        same winner), so fencing only avoids re-work — correctness
+        never depends on it.
+        """
+        sample = self.spark.read.option("recursiveFileLookup", "true").parquet(self.feed_dir)
+        reader = self.spark.readStream.schema(sample.schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        stream = reader.option("recursiveFileLookup", "true").parquet(self.feed_dir)
+
+        stream_app = f"{self.app_id}:stream"
+
+        def _apply(batch_df, epoch_id: int):
+            lineage = apply_changes(
+                self.table,
+                batch_df,
+                stream_app,
+                epoch=epoch_id,
+                verify=self.verify,
+            )
+            if lineage is not None:
+                self._record_lineage(lineage)
+
+        writer = (
+            stream.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
+        if available_now:
+            q.awaitTermination()
+        return q
