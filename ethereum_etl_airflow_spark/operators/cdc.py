@@ -1,4 +1,4 @@
-"""CDC apply: keyed MERGE of a change batch into the snapshot table.
+"""CDC apply: merge-on-read upsert of a change batch into the snapshot table.
 
 Semantics (the generalized form of the reference's MERGE operators —
 ``parse/sqls/merge_table.sql:1-15`` partition overwrite and
@@ -13,26 +13,39 @@ Deletes are retained as tombstone rows (``_tombstone = true``, payload
 nulled, ``_seq`` kept) rather than physically removed: a late event
 with a lower seq than a delete must NOT resurrect the key, which
 requires remembering the delete's seq. ``SnapshotTable.read`` filters
-tombstones for consumers; ``expire_tombstones`` GCs them once the feed
-guarantees no older events can arrive (watermark).
+tombstones for consumers; ``SnapshotTable.expire_tombstones`` GCs them
+once the feed guarantees no older events can arrive (watermark).
 
-Execution strategy (Spark-first, scale-first):
+Execution strategy (Spark-first, scale-first — merge-on-read):
 
-  1. tag batch rows pri=1 and target rows pri=0, union them, and take
-     the last writer per key with ONE hash aggregation:
-     ``groupBy(doc_id).agg(max_by(payload, struct(seq, pri)))``.
-     A hash agg gets partial (map-side) combine for free, so a hot
-     doc_id collapses to one row per input partition BEFORE the
-     shuffle — in-batch dedup, cross-batch LWW and hot-key skew
-     defense in a single operator. (A row_number window would sort
-     and put every hot-key row through the shuffle.)
-  2. only buckets touched by the batch are read back and rewritten
-     (bucket = pmod(xxhash64(doc_id), B)) — copy-on-write merge cost
-     scales with the batch's key spread, not with table size.
-  3. exactly-once: the commit is fenced by (app_id, epoch) in the
+  1. **delta write, not table rewrite**: the batch lands as per-bucket
+     DELTA files (bucket = pmod(xxhash64(doc_id), B)) with exactly ONE
+     shuffle (the bucket repartition). Write cost is O(batch)
+     regardless of table size — at 10^10 accumulated events a
+     copy-on-write MERGE would rewrite the full table every batch;
+     merge-on-read keeps per-batch cost flat.
+  2. **read-side LWW fold**: readers and compaction collapse rows with
+     one hash aggregation ``groupBy(doc_id).agg(max_by(row, (_seq,
+     _epoch)))`` (``sinks.snapshot_table.fold_lww``) — duplicates,
+     out-of-order updates, and cross-batch ordering resolve there.
+     Partial (map-side) combine means a hot doc_id collapses to one
+     row per input partition BEFORE the shuffle — dedup and hot-key
+     skew defense in a single operator. (A row_number window would
+     sort and push every hot-key row through the shuffle.) An optional
+     in-batch fold (``fold_batch=True``) moves that work to the write
+     side when batches carry many updates per key.
+  3. **threshold compaction**: buckets whose file count reaches
+     ``table.compact_files`` are folded back to one file INSIDE the
+     same atomic commit — amortized O(log) rewrite like an LSM tree.
+  4. **exactly-once**: the commit is fenced by (app_id, epoch) in the
      snapshot manifest; a replayed epoch is skipped before any work.
+     The fold itself is idempotent at event level (same (doc_id, seq)
+     -> same winner), so fencing avoids re-work — correctness never
+     depends on it.
 
 Metrics ride on ``DataFrame.observe`` — no extra pass over the data.
+The per-epoch "which buckets were touched" lineage comes from the
+commit's written-file listing — also no extra pass.
 """
 
 from __future__ import annotations
@@ -43,9 +56,13 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable, bucket_expr
+from ethereum_etl_airflow_spark.sinks.snapshot_table import (
+    SnapshotTable,
+    bucket_expr,
+    fold_lww,
+)
 
-META_COLS = {"op", "seq", "ts", "batch_id", "_seq", "_pri", "_bucket"}
+META_COLS = {"op", "seq", "ts", "batch_id", "_seq", "_epoch", "_tombstone", "_bucket"}
 
 
 def payload_columns(schema: T.StructType) -> list[str]:
@@ -59,6 +76,7 @@ def apply_changes(
     app_id: str,
     epoch: int,
     verify: bool = True,
+    fold_batch: bool = False,
 ) -> dict | None:
     """Apply one change batch; returns lineage dict, or None if the
     epoch was already committed (fenced replay — exactly-once)."""
@@ -67,6 +85,7 @@ def apply_changes(
         return None
 
     pay_cols = payload_columns(batch_df.schema)
+    data_cols = [c for c in pay_cols if c != "doc_id"]
 
     obs_in = Observation(f"cdc_in_{epoch}")
     batch_df = batch_df.observe(
@@ -77,73 +96,71 @@ def apply_changes(
         F.count_if(F.col("op") == "D").alias("deletes_in"),
     )
 
-    src = batch_df.select(
-        "op",
-        F.col("seq").cast("long").alias("_seq"),
-        F.lit(1).alias("_pri"),
-        *pay_cols,
-    )
-
     # schema evolution: union of target schema and the batch's payload
     # schema (added nullable columns, int->long widening)
-    batch_payload_schema = T.StructType(
-        [f for f in src.schema.fields if f.name in pay_cols or f.name == "_seq"]
-        + [T.StructField("_tombstone", T.BooleanType(), True)]
+    src = batch_df.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("_seq"),
+        F.lit(epoch).cast("long").alias("_epoch"),
+        (F.col("op") == "D").alias("_tombstone"),
+        *data_cols,
     )
     old_schema = table.schema()
-    new_schema = SnapshotTable._evolve_schema(old_schema, batch_payload_schema)
+    new_schema = SnapshotTable._evolve_schema(old_schema, src.schema)
 
-    src_bucketed = src.withColumn("_bucket", bucket_expr(F.col("doc_id"), table.num_buckets))
-    touched = sorted(
-        r[0] for r in src_bucketed.select("_bucket").distinct().collect()
+    typed = src.select(
+        "doc_id",
+        *[
+            F.col(c).cast(_field_type(new_schema, c)).alias(c)
+            for c in ["_seq", "_epoch", "_tombstone", *data_cols]
+        ],
+    )
+    # LSM append discipline: by default the batch is written UNFOLDED —
+    # the read/compaction-side fold already resolves duplicates and
+    # out-of-order updates, so the write path needs exactly ONE shuffle
+    # (the _bucket repartition inside commit). fold_batch=True adds an
+    # in-batch LWW fold (hash agg with map-side combine) first — worth
+    # it only when a batch carries many updates per key, shrinking the
+    # delta at the cost of a second shuffle.
+    if fold_batch:
+        typed = fold_lww(typed)
+    delta = typed.withColumn(
+        "_bucket", bucket_expr(F.col("doc_id"), table.num_buckets)
     )
 
-    if old_schema is not None:
-        tgt = table.read_raw(touched).select(
-            F.when(F.coalesce(F.col("_tombstone"), F.lit(False)), F.lit("D"))
-            .otherwise(F.lit("I"))
-            .alias("op"),
-            F.col("_seq"),
-            F.lit(0).alias("_pri"),
-            *[c for c in pay_cols if c in {f.name for f in old_schema.fields}],
+    # threshold compaction: buckets already holding >= compact_files - 1
+    # files get folded (existing ∪ delta) into one file in this commit
+    counts = table.file_counts()
+    compact_set = {b for b, c in counts.items() if c + 1 >= table.compact_files}
+
+    if compact_set:
+        compact_list = sorted(compact_set)
+        existing = table.read_files(compact_list)
+        full = fold_lww(
+            existing.unionByName(
+                delta.where(F.col("_bucket").isin(compact_list)).drop("_bucket"),
+                allowMissingColumns=True,
+            )
+        ).withColumn("_bucket", bucket_expr(F.col("doc_id"), table.num_buckets))
+        out = delta.where(~F.col("_bucket").isin(compact_list)).unionByName(
+            full, allowMissingColumns=True
         )
-        combined = src.unionByName(tgt, allowMissingColumns=True)
     else:
-        combined = src
-
-    # ONE hash agg: last writer (max (_seq, _pri)) per doc_id
-    data_cols = [c for c in pay_cols if c != "doc_id"]
-    winner = F.max_by(
-        F.struct(F.col("op"), F.col("_seq"), *data_cols),
-        F.struct(F.col("_seq"), F.col("_pri")),
-    ).alias("w")
-    folded = combined.groupBy("doc_id").agg(winner)
-
-    final_cols = [f.name for f in new_schema.fields if f.name not in ("doc_id", "_tombstone")]
-    obs_out = Observation(f"cdc_out_{epoch}")
-    merged = (
-        folded.select(
-            "doc_id",
-            *[
-                F.col(f"w.{c}").cast(dict_schema_type(new_schema, c)).alias(c)
-                for c in final_cols
-            ],
-            (F.col("w.op") == "D").alias("_tombstone"),
-        )
-        .withColumn("_bucket", bucket_expr(F.col("doc_id"), table.num_buckets))
-        .observe(
-            obs_out,
-            F.count(F.lit(1)).alias("rows_out"),
-            F.count_if(F.col("_tombstone")).alias("tombstones_out"),
-        )
-    )
+        out = delta
 
     if verify:
-        merged = check_invariants(merged)
+        out = check_invariants(out)
 
-    snap = table.commit_merge(
-        merged,
-        touched,
+    obs_out = Observation(f"cdc_out_{epoch}")
+    out = out.observe(
+        obs_out,
+        F.count(F.lit(1)).alias("rows_out"),
+        F.count_if(F.col("_tombstone")).alias("tombstones_out"),
+    )
+
+    snap = table.commit(
+        out,
+        replace_buckets=compact_set,
         app_id=app_id,
         epoch=epoch,
         new_schema=new_schema,
@@ -160,7 +177,8 @@ def apply_changes(
         "events_in": m_in["events_in"],
         "deletes_in": m_in["deletes_in"],
         "offset_range": [m_in["min_seq"], m_in["max_seq"]],
-        "touched_buckets": len(touched),
+        "touched_buckets": len(snap.get("commit_buckets", [])),
+        "compacted_buckets": len(compact_set),
         "rows_out": m_out["rows_out"],
         "tombstones_out": m_out["tombstones_out"],
         "wall_sec": round(wall, 4),
@@ -181,28 +199,28 @@ def _obs_get(obs: Observation, defaults: dict) -> dict:
         return defaults
 
 
-def dict_schema_type(schema: T.StructType, name: str) -> T.DataType:
+def _field_type(schema: T.StructType, name: str) -> T.DataType:
     for f in schema.fields:
         if f.name == name:
             return f.dataType
     raise KeyError(name)
 
 
-def check_invariants(merged: DataFrame) -> DataFrame:
+def check_invariants(out: DataFrame) -> DataFrame:
     """Per-batch data-quality guard (reference: verify/sqls/*.sql run
     after every load, build_load_dag.py:220-234): every surviving row
     must satisfy n_tok == size(tokens). Expressed as a fail-fast
     column so it rides the write job — no extra pass."""
-    cols = set(merged.columns)
+    cols = set(out.columns)
     if {"tokens", "n_tok"} <= cols:
         violation = F.col("n_tok").isNotNull() & (
             F.col("n_tok").cast("long") != F.size("tokens").cast("long")
         )
-        merged = merged.withColumn(
+        out = out.withColumn(
             "n_tok",
             F.when(
                 violation,
                 F.raise_error(F.concat(F.lit("invariant violated: n_tok != size(tokens) for doc_id="), F.col("doc_id"))),
             ).otherwise(F.col("n_tok")),
         )
-    return merged
+    return out

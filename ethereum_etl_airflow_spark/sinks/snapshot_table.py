@@ -1,4 +1,5 @@
-"""Snapshot-versioned, hash-bucketed table — an Iceberg-lite sink.
+"""Snapshot-versioned, hash-bucketed, merge-on-read table — an
+Iceberg-lite sink with LSM-style delta files + threshold compaction.
 
 The north rule targets Iceberg; the sandbox image has no Iceberg jar,
 so this module provides the same contract behind a seam (SURVEY §7.3):
@@ -9,9 +10,16 @@ so this module provides the same contract behind a seam (SURVEY §7.3):
     Iceberg snapshot commit;
   * per-bucket file manifests: the table is hash-bucketed by
     ``pmod(xxhash64(doc_id), num_buckets)`` (reference:
-    ``MOD(ABS(FARM_FINGERPRINT(key)), 3999)``, build_partition_dag.py:119)
-    and a MERGE rewrites ONLY touched buckets (copy-on-write at bucket
-    granularity — merge cost scales with batch keys, not table size);
+    ``MOD(ABS(FARM_FINGERPRINT(key)), 3999)``, build_partition_dag.py:119);
+  * **merge-on-read writes**: a change batch lands as per-bucket DELTA
+    files (write cost = O(batch), independent of table size — the
+    property that keeps 10^10-event replay sustainable); readers fold
+    all files of a bucket with one hash aggregation
+    (``max_by(row, (_seq, _epoch))`` = last-writer-wins). When a
+    bucket accumulates ``compact_files`` files, it is compacted back
+    to a single file inside the same atomic commit (amortized O(log)
+    rewrites, LSM-style — the Hudi-MOR / Paimon pattern, and Iceberg's
+    MERGE + maintenance compaction);
   * exactly-once epoch fencing: the manifest carries
     ``last_epoch:<app_id>`` exactly like Iceberg snapshot-property
     fencing (``snapshot.summary['epoch']``; reference analogue:
@@ -22,11 +30,17 @@ so this module provides the same contract behind a seam (SURVEY §7.3):
     old files through the current schema (parquet reader fills missing
     columns with null and widens int32->int64 natively).
 
-Swap-in path for real Iceberg: replace ``commit_merge`` internals with
+Swap-in path for real Iceberg: replace ``commit`` internals with
 ``MERGE INTO`` + snapshot properties; the public API is unchanged.
 
 The bucket value is a pure function of doc_id, so it is never stored —
 it is recomputed on read when needed (no partition-column plumbing).
+
+Scale note on the read-side fold: delta files of one bucket share the
+same doc_id hash bucket, so with Iceberg bucket-partitioning +
+storage-partitioned aggregation the fold shuffle disappears entirely;
+here the fold is a hash aggregation whose partial (map-side) combine
+already collapses each file's rows before the exchange.
 """
 
 from __future__ import annotations
@@ -44,6 +58,9 @@ from ethereum_etl_airflow_spark.config import NUM_BUCKETS
 
 VERSION_FILE = "VERSION"
 
+#: bookkeeping columns stored alongside the payload in data files
+INTERNAL_COLS = ("_seq", "_epoch", "_tombstone")
+
 
 def bucket_expr(doc_id_col, num_buckets: int):
     """Salted hash bucket: pmod(xxhash64(key), B) — Spark's stable 64-bit
@@ -51,13 +68,35 @@ def bucket_expr(doc_id_col, num_buckets: int):
     return F.pmod(F.xxhash64(doc_id_col), F.lit(num_buckets)).cast("int")
 
 
-class SnapshotTable:
-    """A keyed, snapshot-versioned table on a Hadoop-compatible FS."""
+def fold_lww(df: DataFrame) -> DataFrame:
+    """Collapse multi-file rows to one row per doc_id: the row with the
+    highest (_seq, _epoch) wins — whole-row last-writer-wins. ONE hash
+    aggregation (partial/final automatic), not a row_number window: a
+    hot doc_id collapses map-side before the shuffle (skew defense)."""
+    cols = [c for c in df.columns if c != "doc_id"]
+    winner = F.max_by(F.struct(*cols), F.struct(F.col("_seq"), F.col("_epoch")))
+    return (
+        df.groupBy("doc_id")
+        .agg(winner.alias("_w"))
+        .select("doc_id", *[F.col(f"_w.{c}").alias(c) for c in cols])
+    )
 
-    def __init__(self, spark: SparkSession, root: str, num_buckets: int = NUM_BUCKETS):
+
+class SnapshotTable:
+    """A keyed, snapshot-versioned, merge-on-read table on a
+    Hadoop-compatible FS."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        num_buckets: int = NUM_BUCKETS,
+        compact_files: int = 8,
+    ):
         self.spark = spark
         self.root = root
         self.num_buckets = num_buckets
+        self.compact_files = compact_files
         self._meta = os.path.join(root, "_meta")
         self._data = os.path.join(root, "data")
 
@@ -91,6 +130,9 @@ class SnapshotTable:
         snap = self.snapshot()
         return T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
 
+    def file_counts(self) -> dict[int, int]:
+        return {int(b): len(fs) for b, fs in self.snapshot()["bucket_files"].items()}
+
     def last_epoch(self, app_id: str) -> int:
         return int(self.snapshot()["properties"].get(f"last_epoch:{app_id}", -1))
 
@@ -119,12 +161,12 @@ class SnapshotTable:
             out.extend(os.path.join(self.root, rel) for rel in snap["bucket_files"].get(k, []))
         return out
 
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
-        """Scan the current snapshot (optionally pruned to a bucket list)
-        through the CURRENT schema — old files gain null columns /
-        widened ints transparently. Includes tombstone rows (deleted
-        keys retained with their seq so late stale events cannot
-        resurrect them — Kafka-compaction-style)."""
+    def read_files(self, buckets: list[int] | None = None) -> DataFrame:
+        """Unfolded scan of the current snapshot's data files (optionally
+        pruned to a bucket list) through the CURRENT schema — old files
+        gain null columns / widened ints transparently. One doc_id may
+        appear in several delta files; use :meth:`read_raw` for the
+        folded single-row-per-key view."""
         schema = self.schema()
         files = self._files(buckets)
         if schema is None or not files:
@@ -132,8 +174,14 @@ class SnapshotTable:
             return self.spark.createDataFrame([], empty_schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+        """Folded scan: one row per doc_id (highest (_seq, _epoch) wins).
+        Includes tombstone rows (deleted keys retained with their seq so
+        late stale events cannot resurrect them — Kafka-compaction-style)."""
+        return fold_lww(self.read_files(buckets))
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Consumer-facing scan: tombstones filtered out."""
+        """Consumer-facing scan: folded, tombstones filtered out."""
         df = self.read_raw(buckets)
         if "_tombstone" in df.columns:
             df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
@@ -158,36 +206,37 @@ class SnapshotTable:
                 fields[bf.name] = T.StructField(bf.name, T.LongType(), True)
         return T.StructType(list(fields.values()))
 
-    def commit_merge(
+    def commit(
         self,
-        merged_by_bucket: DataFrame,
-        touched_buckets: list[int],
+        out_df: DataFrame,
+        replace_buckets: set[int],
         app_id: str,
         epoch: int,
         lineage: dict | None = None,
         new_schema: T.StructType | None = None,
     ) -> dict:
-        """Publish a merge result: ``merged_by_bucket`` holds the complete
-        new content of ``touched_buckets`` (with a ``_bucket`` column);
-        untouched buckets carry their previous file lists forward.
+        """Publish one atomic commit. ``out_df`` carries a ``_bucket``
+        column; for buckets in ``replace_buckets`` the output rows are
+        the bucket's COMPLETE new content (compaction — file list
+        replaced), for every other bucket they are a DELTA (files
+        appended). Epoch fencing property is advanced for ``app_id``.
 
-        Caller (operators/cdc.py) is responsible for the MERGE semantics;
-        this layer only guarantees atomicity + fencing.
+        Caller owns the MERGE/fold semantics; this layer guarantees
+        only atomicity + fencing (the Iceberg-commit seam).
         """
         prev = self.snapshot()
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self._data, commit_id)
 
-        n_out = max(1, min(len(touched_buckets), int(self.spark.conf.get("spark.sql.shuffle.partitions"))))
+        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         (
-            merged_by_bucket.repartition(n_out, "_bucket")
+            out_df.repartition(n_out, "_bucket")
             .write.partitionBy("_bucket")
             .parquet(out_dir)
         )
 
         # collect the files each bucket landed in
-        bucket_files = dict(prev["bucket_files"])
-        written = {str(b): [] for b in touched_buckets}
+        written: dict[str, list[str]] = {}
         if os.path.isdir(out_dir):
             for entry in os.listdir(out_dir):
                 if not entry.startswith("_bucket="):
@@ -200,15 +249,22 @@ class SnapshotTable:
                     if fn.endswith(".parquet")
                 ]
                 written.setdefault(b, []).extend(files)
-        for b in touched_buckets:
-            # empty result for a bucket (all rows deleted) -> no files
-            bucket_files[str(b)] = written.get(str(b), [])
-            if not bucket_files[str(b)]:
+
+        commit_buckets = sorted({int(b) for b in written} | set(replace_buckets))
+        bucket_files = dict(prev["bucket_files"])
+        for b in replace_buckets:
+            new_files = written.pop(str(b), [])
+            if new_files:
+                bucket_files[str(b)] = new_files
+            else:
+                # compaction produced no rows (everything deleted+expired)
                 bucket_files.pop(str(b), None)
+        for b, new_files in written.items():  # pure deltas: append
+            bucket_files[b] = bucket_files.get(b, []) + new_files
 
         schema = new_schema or self.schema()
         if schema is None:
-            raise ValueError("commit_merge needs a schema for the first commit")
+            raise ValueError("commit needs a schema for the first commit")
         props = dict(prev["properties"])
         props[f"last_epoch:{app_id}"] = epoch
         snap = {
@@ -218,39 +274,60 @@ class SnapshotTable:
             "schema": schema.jsonValue(),
             "num_buckets": self.num_buckets,
             "bucket_files": bucket_files,
+            "commit_buckets": commit_buckets,
             "properties": props,
             "lineage": lineage or {},
         }
         self._publish(snap)
         return snap
 
-    def expire_tombstones(self, watermark_seq: int, app_id: str = "maintenance") -> dict:
-        """Physically drop tombstones with ``_seq < watermark_seq`` — safe
-        once the feed guarantees no event older than the watermark can
-        still arrive (the reference's partition GC, build_clean_dag.py:99-115,
+    # -------------------------------------------------------- maintenance
+
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        drop_tombstones_below: int | None = None,
+        app_id: str = "maintenance",
+    ) -> dict:
+        """Fold the given buckets (default: all) down to one file each.
+        Logical state is unchanged — except tombstones older than
+        ``drop_tombstones_below`` (a seq watermark) are physically
+        dropped, safe once the feed guarantees no older event can still
+        arrive (the reference's partition GC, build_clean_dag.py:99-115,
         and its 72h TTL side tables, build_partition_dag.py:113-115)."""
-        live = self.read_raw().where(
-            ~(
-                F.coalesce(F.col("_tombstone"), F.lit(False))
-                & (F.col("_seq") < F.lit(watermark_seq))
+        if buckets is None:
+            buckets = [int(b) for b in self.snapshot()["bucket_files"]]
+        folded = self.read_raw(buckets)
+        if drop_tombstones_below is not None:
+            folded = folded.where(
+                ~(
+                    F.coalesce(F.col("_tombstone"), F.lit(False))
+                    & (F.col("_seq") < F.lit(drop_tombstones_below))
+                )
             )
-        )
-        all_buckets = [int(b) for b in self.snapshot()["bucket_files"]]
-        merged = live.withColumn("_bucket", bucket_expr(F.col("doc_id"), self.num_buckets))
-        return self.commit_merge(
-            merged,
-            all_buckets,
+        out = folded.withColumn("_bucket", bucket_expr(F.col("doc_id"), self.num_buckets))
+        return self.commit(
+            out,
+            replace_buckets=set(buckets),
             app_id=app_id,
             epoch=self.last_epoch(app_id) + 1,
-            lineage={"op": "expire_tombstones", "watermark_seq": watermark_seq},
+            lineage={
+                "op": "compact",
+                "buckets": len(buckets),
+                "drop_tombstones_below": drop_tombstones_below,
+            },
         )
+
+    def expire_tombstones(self, watermark_seq: int, app_id: str = "maintenance") -> dict:
+        """Physically drop tombstones with ``_seq < watermark_seq``."""
+        return self.compact(drop_tombstones_below=watermark_seq, app_id=app_id)
 
     # ------------------------------------------------------------- retention
 
     def expire_snapshots(self, keep_last: int = 2) -> int:
         """Drop manifests older than the last ``keep_last`` and GC data
         files no live manifest references (reference: build_clean_dag.py
-        partition GC, M3)."""
+        partition GC, M3; Iceberg expire_snapshots)."""
         cur = self.current_version()
         if cur < 0:
             return 0

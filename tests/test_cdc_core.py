@@ -164,7 +164,9 @@ def test_invariant_violation_fails_batch(spark, tmp_path):
 
 
 def test_expire_snapshots_gc(spark, tmp_path):
-    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    # compact_files=2 -> every bucket compacts on its 2nd delta, so old
+    # delta files become unreferenced and the GC has something to drop
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4, compact_files=2)
     cfg = FeedConfig(n_docs=100, events_per_batch=200, n_batches=3)
     for b in range(3):
         apply_changes(table, generate_batch(spark, cfg, b), "t9", epoch=b)
@@ -172,3 +174,41 @@ def test_expire_snapshots_gc(spark, tmp_path):
     assert removed > 0
     # current snapshot still fully readable after GC
     assert_state_matches(table, spark, cfg, 2)
+
+
+def test_threshold_compaction_preserves_state(spark, tmp_path):
+    """Merge-on-read deltas + automatic threshold compaction must be
+    invisible to readers: state equals the oracle fold at every step,
+    and file counts stay bounded by compact_files."""
+    cfg = FeedConfig(n_docs=300, events_per_batch=600, n_batches=6, dup_tail=100)
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4, compact_files=3)
+    compactions = 0
+    for b in range(cfg.n_batches):
+        li = apply_changes(table, generate_batch(spark, cfg, b), "t10", epoch=b)
+        compactions += li["compacted_buckets"]
+        assert max(table.file_counts().values()) <= table.compact_files
+    assert compactions > 0  # threshold compaction actually fired
+    assert_state_matches(table, spark, cfg, cfg.n_batches - 1)
+    # explicit full compaction: one file per bucket, state unchanged
+    table.compact()
+    assert max(table.file_counts().values()) == 1
+    assert_state_matches(table, spark, cfg, cfg.n_batches - 1)
+
+
+def test_tombstone_expiry_after_watermark(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=2)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "op string, doc_id string, seq long, tokens array<int>, n_tok int, source string"
+        ).withColumn("ts", F.timestamp_seconds(F.col("seq")).cast("timestamp_ntz"))
+
+    apply_changes(table, mk([("I", "a", 1, [1], 1, "web"), ("I", "b", 2, [2], 1, "web")]), "t11", 0)
+    apply_changes(table, mk([("D", "a", 3, None, None, None)]), "t11", 1)
+    raw = table.read_raw()
+    assert raw.where(F.col("_tombstone")).count() == 1  # tombstone retained
+    table.expire_tombstones(watermark_seq=10)
+    assert table.read_raw().where(F.col("_tombstone")).count() == 0
+    assert [r[0] for r in canon_state(table.read())] == ["b"]
