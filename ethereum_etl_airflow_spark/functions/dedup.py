@@ -1,0 +1,244 @@
+"""Deduplication operators for the training-data pipeline: exact
+hash-dedup, n-gram Jaccard near-dup, MinHash+LSH near-dup.
+
+The reference's dedup surface is key-level (``ANY_VALUE`` first-wins,
+amended_tokens.sql:3-10; MERGE delete-insert, merge_table.sql:1-15).
+A training corpus additionally needs CONTENT-level dedup; these
+operators provide it Spark-first:
+
+* exact: one hash aggregation on a content fingerprint — map-side
+  combine, one shuffle of (fingerprint, doc_id) pairs only.
+* n-gram Jaccard: shingle -> explode -> self-join on shared shingle
+  (blocking — the cross-join never materializes; candidate generation
+  is |pairs sharing a shingle|, not |docs|^2) -> exact Jaccard on
+  distinct-shingle arrays.
+* MinHash+LSH: K=16 portable permutations folded per doc (no explode
+  for signature build — one pass over the shingle array), banded
+  4x4; only band-bucket collisions become candidates (the classic
+  LSH S-curve); candidates verified with exact Jaccard. At 100 TB
+  the band join is the only shuffle and its keys are ~uniform by
+  construction (hash buckets), sidestepping skew.
+
+Every query is value-checked against a DuckDB oracle built from the
+same portable md5 hashing (functions/hashing.py) — bit-identical
+signatures in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethereum_etl_airflow_spark.functions.hashing import (
+    MINHASH_P,
+    minhash_perm,
+    minhash_perm_sql,
+    phash60,
+    phash60_sql,
+)
+from ethereum_etl_airflow_spark.queries import _t, register
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = MINHASH_K // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def shingles_col(toks):
+    """Distinct 3-gram token shingles of a token array (w-shingling)."""
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - F.lit(2)),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    return F.when(n >= 3, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+_SHINGLES_SQL = """
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+               )) AS sh
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {phash60_sql("array_to_string((string_split(text, ' '))[1:3], ' ')")} AS fp
+        FROM documents
+    )
+    SELECT fp, MIN(doc_id) AS keeper, COUNT(*) AS group_size
+    FROM t GROUP BY fp HAVING COUNT(*) > 1
+    """,
+    doc="exact dedup: hash-groupBy on content fingerprint, keep min doc_id",
+    survey_ref="amended_tokens.sql:3-10 (A2 dedup generalized to content hash)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (here: 3-token prefix, the
+    blocking key with actual collisions in the synthetic corpus; for
+    full-content dedup swap in md5(text) — identical plan shape).
+    ONE hash aggregation: map-side combine collapses dup groups before
+    the shuffle; only (fp, doc_id) pairs move."""
+    d = _t(spark, sf_dir, "documents")
+    fp = phash60(F.array_join(F.slice(F.split("text", " "), 1, 3), " "))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("group_size"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    x AS (SELECT doc_id, unnest(sh) AS g FROM t),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(ta.sh, tb.sh)) AS n_common,
+           len(list_distinct(ta.sh || tb.sh)) AS n_union,
+           len(list_intersect(ta.sh, tb.sh))::DOUBLE
+               / len(list_distinct(ta.sh || tb.sh)) AS jaccard
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
+              / len(list_distinct(ta.sh || tb.sh)) >= {JACCARD_THRESHOLD}
+    """,
+    doc="n-gram Jaccard near-dup pairs via shared-shingle blocking",
+    survey_ref="training-pipeline ops (n-gram Jaccard dedup)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct 3-gram shingles.
+    Candidate generation is a self-join on EXPLODED shingles (pairs
+    must share >= 1 shingle) — blocking that avoids the full cross
+    join; the final Jaccard is computed on the compact per-doc shingle
+    arrays carried through the join."""
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+    x = sh.select("doc_id", F.explode("sh").alias("g"))
+    cand = (
+        x.alias("a")
+        .join(x.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta, tb = sh.alias("ta"), sh.alias("tb")
+    n_common = F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
+    n_union = F.size(F.array_distinct(F.concat(F.col("ta.sh"), F.col("tb.sh"))))
+    jac = n_common.cast("double") / n_union
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+            jac.alias("jaccard"),
+        )
+    )
+
+
+def _sig_sql() -> str:
+    """DuckDB fragment computing the MinHash signature list from ``sh``."""
+    hs = f"list_transform(sh, s -> {phash60_sql('s')})"
+    return (
+        f"list_transform(generate_series(0, {MINHASH_K - 1}), i -> "
+        f"list_min(list_transform({hs}, xh -> {minhash_perm_sql('xh', 'i')})))"
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, sh, {_sig_sql()} AS sig FROM t
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               array_to_string(sig[{LSH_ROWS}*b + 1 : {LSH_ROWS}*b + {LSH_ROWS}], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(ta.sh, tb.sh)) AS n_common,
+           len(list_distinct(ta.sh || tb.sh)) AS n_union
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.doc_a
+    JOIN t tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
+              / len(list_distinct(ta.sh || tb.sh)) >= {JACCARD_THRESHOLD}
+    """,
+    doc="MinHash(16) + LSH(4x4) near-dup candidates, Jaccard-verified",
+    survey_ref="training-pipeline ops (MinHash+LSH dedup); skew note SURVEY §4",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the scale path for Jaccard
+    dedup: signatures are built in ONE pass over each doc's shingle
+    array (nested ``transform``/``array_min`` — no explode, no
+    shuffle); only the 4 band keys per doc enter the candidate join.
+    Bit-identical to the DuckDB oracle via the portable permutation
+    family (functions/hashing.py)."""
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+    hs = F.transform(F.col("sh"), lambda s: phash60(s) % MINHASH_P)
+    sig = F.array(
+        *[F.array_min(F.transform(hs, lambda xh: minhash_perm(xh, i))) for i in range(MINHASH_K)]
+    )
+    sigs = sh.select("doc_id", "sh", sig.alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", LSH_ROWS * b + 1, LSH_ROWS),
+                                lambda v: v.cast("string"),
+                            ),
+                            "-",
+                        ).alias("band_key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.b", "bk.band_key")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta, tb = sh.alias("ta"), sh.alias("tb")
+    n_common = F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
+    n_union = F.size(F.array_distinct(F.concat(F.col("ta.sh"), F.col("tb.sh"))))
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .where(n_common.cast("double") / n_union >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", n_common.alias("n_common"), n_union.alias("n_union"))
+    )

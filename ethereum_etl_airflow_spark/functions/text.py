@@ -1,0 +1,235 @@
+"""Text-analysis operators for the training-data pipeline: token
+statistics, quality scoring, language ID, document fingerprinting.
+
+These extend the reference's data-quality stage (verify/sqls/*.sql —
+per-table invariants run after every load, build_load_dag.py:220-234)
+to the document/token domain a 100 TB training-data pipeline needs.
+
+All operators are pure ``pyspark.sql.functions`` column expressions —
+JVM-side, whole-stage-codegen, zero Python in the hot path. Every
+query has a value-identical DuckDB oracle (portable md5-based hashing,
+integer/decimal arithmetic — see functions/hashing.py).
+
+Scale notes: every operator here is a narrow map over the documents
+scan (no shuffle at all); Catalyst prunes the parquet scan to the
+referenced columns. At 100 TB these run at IO speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethereum_etl_airflow_spark.functions.hashing import phash60, phash60_sql
+from ethereum_etl_airflow_spark.queries import _t, register
+
+# Tiny per-language stopword profiles (language-ID by vocabulary hit
+# rate — the classic n-gram/stopword heuristic, deterministic argmax).
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "value", "fast", "key"],
+    "es": ["el", "la", "de", "y", "que", "valor", "datos"],
+    "de": ["der", "die", "das", "und", "zu", "wert", "daten"],
+    "fr": ["le", "la", "de", "et", "que", "valeur"],
+}
+
+
+def tokens_col(text=None):
+    """Whitespace tokenization (single-space corpus); the BPE-ish
+    variant below splits word-internal digit/alpha boundaries too."""
+    return F.split(F.col("text") if text is None else text, " ")
+
+
+def bpe_ish_tokens(text=None):
+    """Regex pre-tokenizer in the GPT-2 spirit: words, numbers, and
+    punctuation runs become separate tokens (a deterministic stand-in
+    for a real BPE vocab — counts approximate BPE token counts)."""
+    text = F.col("text") if text is None else text
+    return F.filter(
+        F.split(F.regexp_replace(text, r"(\d+|[^\w\s]+)", r" $1 "), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS toks
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           len(toks) AS n_tok,
+           len(list_distinct(toks)) AS n_uniq_tok,
+           CAST(n_chars AS DOUBLE) / len(toks) AS avg_tok_len,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS uniq_ratio
+    FROM t
+    """,
+    doc="token counting: whitespace tokens, distinct tokens, ratios",
+    survey_ref="training-pipeline ops (task brief); verify-stage analogue SURVEY §2.4",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tok"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("avg_tok_len"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("uniq_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ), f AS (
+        SELECT doc_id, n_chars, n_tok,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','to'], x))) AS n_stop,
+               len(list_filter(toks, x -> len(x) <= 2)) AS n_short
+        FROM t
+    )
+    SELECT doc_id, n_tok, n_stop,
+           n_stop::DOUBLE / n_tok AS stopword_ratio,
+           n_short::DOUBLE / n_tok AS short_tok_ratio,
+           (CASE WHEN n_tok BETWEEN 50 AND 100000 THEN 40 ELSE 0 END
+            + CASE WHEN n_stop::DOUBLE / n_tok BETWEEN 0.01 AND 0.5 THEN 30 ELSE 0 END
+            + CASE WHEN n_short::DOUBLE / n_tok < 0.3 THEN 30 ELSE 0 END) AS quality_score
+    FROM f
+    """,
+    doc="quality scoring: length / stopword / short-token heuristics (C4-style filters)",
+    survey_ref="training-pipeline ops; reference verify-stage analogue",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to")])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_short = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    stop_ratio = n_stop.cast("double") / n_tok
+    short_ratio = n_short.cast("double") / n_tok
+    score = (
+        F.when((n_tok >= 50) & (n_tok <= 100_000), 40).otherwise(0)
+        + F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), 30).otherwise(0)
+        + F.when(short_ratio < 0.3, 30).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
+        stop_ratio.alias("stopword_ratio"),
+        short_ratio.alias("short_tok_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _langid_score(toks, lang: str):
+    prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda x: F.array_contains(prof, x)))
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang AS lang_label, string_split(text, ' ') AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, lang_label, len(toks) AS n_tok,
+               len(list_filter(toks, x -> list_contains(['the','a','of','and','to','value','fast','key'], x))) AS s_en,
+               len(list_filter(toks, x -> list_contains(['el','la','de','y','que','valor','datos'], x))) AS s_es,
+               len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','wert','daten'], x))) AS s_de,
+               len(list_filter(toks, x -> list_contains(['le','la','de','et','que','valeur'], x))) AS s_fr
+        FROM t
+    )
+    SELECT doc_id, lang_label, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    doc="language ID: stopword-profile hit counts, deterministic argmax",
+    survey_ref="training-pipeline ops (langid heuristic)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    s = {lang: _langid_score(toks, lang) for lang in ("en", "es", "de", "fr")}
+    pred = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), "es")
+        .when(s["de"] >= s["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        s["en"].alias("s_en"),
+        s["es"].alias("s_es"),
+        s["de"].alias("s_de"),
+        s["fr"].alias("s_fr"),
+        pred.alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), h AS (
+        SELECT doc_id, toks,
+               list_transform(toks, x -> {phash60_sql('x')}) AS th
+        FROM t
+    )
+    SELECT doc_id,
+           {phash60_sql("array_to_string(toks[1:3], ' ')")} AS prefix_fp,
+           list_min(th) AS min_tok_hash,
+           list_sum(list_transform(generate_series(0, 31), i ->
+               CASE WHEN list_sum(list_transform(th, x ->
+                   CASE WHEN (x >> i) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN 1 << i ELSE 0 END))::BIGINT AS simhash32
+    FROM h
+    """,
+    doc="fingerprints: content-prefix hash, min-token-hash, 32-bit SimHash",
+    survey_ref="training-pipeline ops (SimHash, rolling fingerprint)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fingerprints, all via the portable hash: a prefix
+    fingerprint (first 3 tokens — cheap exact-dup blocking key), the
+    min token hash (1-perm MinHash), and a 32-bit SimHash (majority
+    vote per bit over token hashes — Charikar 2002). Pure column
+    expressions; the SimHash is one fused ``aggregate`` over the token
+    array, no explode, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_col()
+    th = F.transform(toks, lambda x: phash60(x))
+    bit_votes = [
+        F.when(
+            F.aggregate(
+                th,
+                F.lit(0),
+                lambda acc, x: acc
+                + F.when(x.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(32)
+    ]
+    simhash = bit_votes[0]
+    for bv in bit_votes[1:]:
+        simhash = simhash + bv
+    return d.select(
+        "doc_id",
+        phash60(F.array_join(F.slice(toks, 1, 3), " ")).alias("prefix_fp"),
+        F.array_min(th).alias("min_tok_hash"),
+        simhash.alias("simhash32"),
+    )

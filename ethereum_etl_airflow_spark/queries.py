@@ -528,6 +528,13 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Training-data pipeline operator families (text analysis, dedup,
+# similarity search, multimodal) register themselves on import.
+from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import similarity as _similarity  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import text as _text  # noqa: E402,F401
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
