@@ -10,13 +10,18 @@ Implementation lives in ``ethereum_etl_airflow_spark.queries``.
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+# Python workers (pandas UDF / mapInPandas) must import this package
+# too — the local-mode equivalent of `spark-submit --py-files`.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from ethereum_etl_airflow_spark import queries as _q  # noqa: E402
 

@@ -531,6 +531,7 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import multimodal as _multimodal  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import similarity as _similarity  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import text as _text  # noqa: E402,F401
 

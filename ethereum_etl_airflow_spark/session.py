@@ -31,6 +31,11 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # make the package importable in Python UDF workers (local-mode
+    # `--py-files` equivalent); must be set before the JVM launches
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
