@@ -1,0 +1,125 @@
+"""Extraction specs: the engine's declarative query language.
+
+The reference's parse stage is driven by 7,062 table-definition JSON
+files (``dags/resources/stages/parse/table_definitions/**.json``, read
+by ``table_definition_reader.py:14-40``), each declaring: a parser
+(ABI item + selector + contract filter) and an output table schema.
+The JSON **is** the query language — ``build_parse_dag.py`` compiles
+each spec into SQL + a JS decode UDF.
+
+This module defines the engine's equivalent spec (same information,
+engine-neutral), its validation (mirror of
+``tests/test_validate_json.py:41-73``), and content hashing for the
+incremental planner (mirror of ``table_definition_reader.py:115-118``).
+
+``contract_address`` may be a literal value, empty, or a ``ref('X')``
+expression naming another spec's output — the cross-spec dependency
+edge (``parse_table_definition_logic.py:16`` ref_regex;
+``parse_dataset_folder_logic.py:108-121``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+from dataclasses import dataclass, field
+
+REF_REGEX = re.compile(r"ref\(\s*'([^']+)'\s*\)")
+
+ALLOWED_TYPES = {"string", "bigint", "int", "double", "boolean", "decimal(38,9)"}
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    name: str
+    path: str  # JSON path into the payload ('$.x'), the ABI-slot analogue
+    type: str  # Spark SQL type name
+
+
+@dataclass(frozen=True)
+class ParserSpec:
+    type: str  # 'log' | 'trace'
+    selector: str  # topic0 / 4-byte selector analogue
+    contract_address: str | None  # literal | ref('other') | None
+    fields: tuple[FieldSpec, ...]
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    dataset_name: str
+    table_name: str
+
+
+@dataclass(frozen=True)
+class ExtractionSpec:
+    parser: ParserSpec
+    table: TableSpec
+    raw: str = field(compare=False, default="")
+
+    @property
+    def name(self) -> str:
+        return f"{self.dataset_name}.{self.table.table_name}"
+
+    @property
+    def dataset_name(self) -> str:
+        return self.table.dataset_name
+
+    @property
+    def content_hash(self) -> str:
+        """sha256 of the canonical spec JSON (the incremental planner's
+        change signal — table_definition_reader.py:115-118)."""
+        return hashlib.sha256(self.raw.encode()).hexdigest()
+
+    @property
+    def refs(self) -> tuple[str, ...]:
+        """Names of specs this spec depends on via ref('X')."""
+        if not self.parser.contract_address:
+            return ()
+        return tuple(REF_REGEX.findall(self.parser.contract_address))
+
+
+class SpecValidationError(ValueError):
+    pass
+
+
+def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionSpec:
+    """Load + validate one spec (mirror of test_validate_json.py checks:
+    required keys, known types, table_name matches file name)."""
+    raw = doc if isinstance(doc, str) else json.dumps(doc, sort_keys=True)
+    d = json.loads(raw) if isinstance(doc, str) else doc
+
+    for key in ("parser", "table"):
+        if key not in d:
+            raise SpecValidationError(f"missing top-level key: {key}")
+    p, t = d["parser"], d["table"]
+    if p.get("type") not in ("log", "trace"):
+        raise SpecValidationError(f"parser.type must be log|trace, got {p.get('type')}")
+    if not p.get("selector"):
+        raise SpecValidationError("parser.selector is required")
+    fields = []
+    seen: set[str] = set()
+    for f in p.get("fields", []):
+        if f["name"] in seen:
+            raise SpecValidationError(f"duplicate field {f['name']}")
+        if f["type"] not in ALLOWED_TYPES:
+            raise SpecValidationError(f"unknown type {f['type']} for field {f['name']}")
+        seen.add(f["name"])
+        fields.append(FieldSpec(f["name"], f.get("path", f"$.{f['name']}"), f["type"]))
+    for key in ("dataset_name", "table_name"):
+        if not t.get(key):
+            raise SpecValidationError(f"table.{key} is required")
+    if expected_name is not None and t["table_name"] != expected_name:
+        raise SpecValidationError(
+            f"table_name {t['table_name']!r} != file name {expected_name!r}"
+        )
+    return ExtractionSpec(
+        parser=ParserSpec(
+            type=p["type"],
+            selector=p["selector"],
+            contract_address=p.get("contract_address"),
+            fields=tuple(fields),
+        ),
+        table=TableSpec(dataset_name=t["dataset_name"], table_name=t["table_name"]),
+        raw=json.dumps(d, sort_keys=True),
+    )

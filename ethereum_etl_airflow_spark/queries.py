@@ -528,6 +528,102 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Extraction-spec compiler queries (SURVEY §3.2 parse lifecycle):
+# declarative JSON spec -> filter/decode/project pipeline.
+# ---------------------------------------------------------------------------
+
+_PURCHASE_SPEC = {
+    "parser": {
+        "type": "log",
+        "selector": "purchase",
+        "contract_address": None,
+        "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+    },
+    "table": {"dataset_name": "demo", "table_name": "purchase_events"},
+}
+
+_REF_SPEC = {
+    "parser": {
+        "type": "log",
+        "selector": "purchase",
+        "contract_address": "ref('signup_users')",
+        "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+    },
+    "table": {"dataset_name": "demo", "table_name": "purchases_by_signups"},
+}
+
+_PARSE_ORACLE = """
+    SELECT event_id, ts, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_type = 'purchase'
+    """
+
+
+@register(
+    "parse_spec_log_decode",
+    oracle=_PARSE_ORACLE,
+    doc="extraction spec compiled to selector-filter + JVM from_json decode",
+    survey_ref="parse_logs.sql:31,43-54 (P5, F1, P9); build_parse_dag.py lifecycle",
+)
+def parse_spec_log_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    return compile_spec(parse_spec(_PURCHASE_SPEC), _t(spark, sf_dir, "events"))
+
+
+@register(
+    "parse_spec_ref_semijoin",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type = 'purchase'
+      AND user_id IN (
+          SELECT user_id FROM events
+          WHERE event_type = 'signup'
+            AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 30
+      )
+    """,
+    doc="spec with ref('X') contract set -> left-semi join on upstream spec output",
+    survey_ref="parse_logs.sql:18-25 (P6/J7); parse_dataset_folder_logic.py:108-121 ref()",
+)
+def parse_spec_ref_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    ev = _t(spark, sf_dir, "events")
+    signup_spec = parse_spec(
+        {
+            "parser": {
+                "type": "log",
+                "selector": "signup",
+                "contract_address": None,
+                "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+            },
+            "table": {"dataset_name": "demo", "table_name": "signup_users"},
+        }
+    )
+    # the ref table is itself a compiled spec output, further filtered —
+    # spec pipelines compose like the reference's ref() views
+    signups = compile_spec(signup_spec, ev).where(F.col("k") < 30)
+    return compile_spec(parse_spec(_REF_SPEC), ev, resolve_ref=lambda name: signups)
+
+
+@register(
+    "parse_spec_pandas_decode",
+    oracle=_PARSE_ORACLE,
+    doc="same spec through the Arrow pandas-UDF decode path (vectorized parity)",
+    survey_ref="parse_logs_udf.sql:1-47 (F1) as vectorized pandas UDF",
+)
+def parse_spec_pandas_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec_pandas
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    return compile_spec_pandas(parse_spec(_PURCHASE_SPEC), _t(spark, sf_dir, "events"))
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
