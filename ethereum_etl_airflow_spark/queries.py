@@ -529,6 +529,182 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# J6: LEFT JOIN dimension enrichment tolerating misses
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "left_join_enrich",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           o.o_custkey AS custkey,
+           c.c_name AS cust_name,
+           COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    doc="left join with miss tolerance + coalesce default",
+    survey_ref="uniswap_v2_swaps_with_slippage.sql:12 (J6)",
+)
+def left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_name").alias("cust_name"),
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 + §2.8 arrays: order-preserving array ops (posexplode, array_join,
+# element_at, size) — the UNNEST WITH OFFSET pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_ops_ordered",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), e AS (
+        SELECT doc_id,
+               unnest(generate_series(0, least(3, len(toks)) - 1)) AS pos
+        FROM t
+    )
+    SELECT e.doc_id, e.pos, t.toks[e.pos + 1] AS token,
+           len(t.toks) AS n_tok,
+           array_to_string(t.toks[1:3], ',') AS head_joined,
+           t.toks[1] AS first_tok
+    FROM e JOIN t ON e.doc_id = t.doc_id
+    """,
+    doc="posexplode with offsets + array_join + element_at (order preserved)",
+    survey_ref="enrich/sqls/traces.sql:15-17 (W3); SURVEY §2.8 array row",
+)
+def array_ops_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.posexplode(F.slice("toks", 1, 3)).alias("pos", "token"),
+        F.size("toks").alias("n_tok"),
+        F.array_join(F.slice("toks", 1, 3), ",").alias("head_joined"),
+        F.element_at("toks", 1).alias("first_tok"),
+    ).select("doc_id", "pos", "token", "n_tok", "head_joined", "first_tok")
+
+
+# ---------------------------------------------------------------------------
+# U3: UNION ALL fan-in across partitioned segments + per-segment lag
+# (the verify_streaming 5-way fan-in shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_fanin_freshness",
+    oracle="""
+    WITH u AS (
+        SELECT 'purchase' AS segment, ts FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT 'click' AS segment, ts FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT 'view' AS segment, ts FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'signup' AS segment, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT segment, COUNT(*) AS n_rows, MAX(ts) AS latest_ts,
+           CAST(MAX(ts) AS DATE) AS latest_date
+    FROM u GROUP BY segment
+    """,
+    doc="multi-branch fan-in + freshness (max ts) per segment",
+    survey_ref="verify_streaming/sqls/partitioned_traces_have_latest.sql:1-23 (U3)",
+)
+def union_fanin_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    branches = [
+        ev.where(F.col("event_type") == s).select(F.lit(s).alias("segment"), "ts")
+        for s in ("purchase", "click", "view", "signup")
+    ]
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("segment").agg(
+        F.count("*").alias("n_rows"),
+        F.max("ts").alias("latest_ts"),
+        F.max("ts").cast("date").alias("latest_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10: hash-bucket pruning predicate (FARM_FINGERPRINT mod N analogue)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucket_pruning_filter",
+    oracle="""
+    SELECT user_id,
+           (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 64) AS bucket,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 64) = 7
+    GROUP BY user_id
+    """,
+    doc="filter to one hash bucket then aggregate (selective-scan pattern)",
+    survey_ref="parse_logs.sql:39 (P10); build_partition_dag.py:108-123 bucketing",
+)
+def bucket_pruning_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.functions.hashing import phash60
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = phash60(F.col("user_id").cast("string")) % 64
+    return (
+        ev.where(bucket == 7)
+        .groupBy("user_id", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "bucket", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S8 + J4: seed-CSV amend — broadcast curated overrides via FULL OUTER
+# JOIN + COALESCE (the amended_tokens pattern end-to-end)
+# ---------------------------------------------------------------------------
+
+_SEED_ROWS = [(0, "AFRICA-FIXED"), (2, "ASIA-FIXED"), (99, "NEWREGION")]
+
+
+@register(
+    "seed_amend_overrides",
+    oracle="""
+    WITH seed(r_regionkey, r_name_fixed) AS (
+        VALUES (0, 'AFRICA-FIXED'), (2, 'ASIA-FIXED'), (99, 'NEWREGION')
+    )
+    SELECT COALESCE(s.r_regionkey, r.r_regionkey) AS regionkey,
+           COALESCE(s.r_name_fixed, r.r_name) AS region_name,
+           (s.r_regionkey IS NOT NULL) AS amended
+    FROM seed s FULL OUTER JOIN region r ON s.r_regionkey = r.r_regionkey
+    """,
+    doc="seed overrides: broadcast full-outer join, seed value wins",
+    survey_ref="build_amend_dag.py:52-76 (S8); amended_tokens.sql:23-30 (J4)",
+)
+def seed_amend_overrides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    seed = spark.createDataFrame(_SEED_ROWS, "r_regionkey long, r_name_fixed string")
+    return (
+        F.broadcast(seed)
+        .join(r, seed.r_regionkey == r.r_regionkey, "full_outer")
+        .select(
+            F.coalesce(seed.r_regionkey, r.r_regionkey).alias("regionkey"),
+            F.coalesce(seed.r_name_fixed, r.r_name).alias("region_name"),
+            seed.r_regionkey.isNotNull().alias("amended"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Extraction-spec compiler queries (SURVEY §3.2 parse lifecycle):
 # declarative JSON spec -> filter/decode/project pipeline.
 # ---------------------------------------------------------------------------
