@@ -31,14 +31,20 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    elif master == "inherit":
+        # spark-submit path: cluster manager / --master comes from the
+        # submit command line, the builder must not override it
+        master = None
     # make the package importable in Python UDF workers (local-mode
     # `--py-files` equivalent); must be set before the JVM launches
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in os.environ.get("PYTHONPATH", ""):
         os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),

@@ -44,6 +44,7 @@ class ChangeLogTailer:
         num_buckets: int | None = None,
         lineage_dir: str | None = None,
         verify: bool = True,
+        post_batch_checks: list | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -52,7 +53,18 @@ class ChangeLogTailer:
         self.app_id = app_id
         self.lineage_dir = lineage_dir or os.path.join(table_root, "_lineage")
         self.verify = verify
+        # reference cadence: verify SQL suite after every load
+        # (build_load_dag.py:220-234) — here one combined aggregation
+        # over the folded table per applied batch (verify.run_checks)
+        self.post_batch_checks = post_batch_checks
         self.applied: list[dict] = []
+
+    def _run_post_checks(self, lineage: dict) -> None:
+        if not self.post_batch_checks:
+            return
+        from ethereum_etl_airflow_spark.verify import run_checks
+
+        lineage["checks"] = run_checks(self.table.read(), self.post_batch_checks)
 
     # ------------------------------------------------------------- lineage
 
@@ -94,6 +106,7 @@ class ChangeLogTailer:
                 self.table, batch_df, self.app_id, epoch=batch_id, verify=self.verify
             )
             if lineage is not None:
+                self._run_post_checks(lineage)
                 self._record_lineage(lineage)
                 results.append(lineage)
         return results
@@ -134,6 +147,7 @@ class ChangeLogTailer:
                 verify=self.verify,
             )
             if lineage is not None:
+                self._run_post_checks(lineage)
                 self._record_lineage(lineage)
 
         writer = (

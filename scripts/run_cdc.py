@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""CDC job entry point for spark-submit (the north rule's launch path).
+
+Cluster launch (N / 4N executors — BASELINE.md scaling evidence runs
+the local[4]/local[16] proxy of this):
+
+    zip -r engine.zip ethereum_etl_airflow_spark
+    spark-submit --master <cluster> --num-executors N \\
+        --py-files engine.zip scripts/run_cdc.py \\
+        --feed-dir s3://.../feed --table-root s3://.../table \\
+        --checkpoint s3://.../cp --mode stream
+
+Local smoke:
+
+    python scripts/run_cdc.py --feed-dir /tmp/feed --table-root /tmp/t \\
+        --mode replay --local 8
+
+Modes:
+  replay  deterministic batch loop over feed/batch-NNNNNN dirs
+          (resume-safe: committed epochs are fenced and skipped)
+  stream  Structured Streaming file tailer with checkpoint
+          (Trigger.AvailableNow by default; --follow for continuous)
+
+Per-batch lineage (offset range, counts, snapshot version, wall time,
+events/sec) prints to stdout as JSON lines and lands in the table's
+_lineage/ dir either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--feed-dir", required=True)
+    ap.add_argument("--table-root", required=True)
+    ap.add_argument("--checkpoint", default=None, help="required for --mode stream")
+    ap.add_argument("--mode", choices=["replay", "stream"], default="replay")
+    ap.add_argument("--app-id", default="cdc")
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--local", type=int, default=None, help="local[N] master (omit under spark-submit)")
+    ap.add_argument("--follow", action="store_true", help="stream continuously (no AvailableNow)")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--checks", action="store_true", help="run invariant checks per batch")
+    args = ap.parse_args()
+
+    from ethereum_etl_airflow_spark.session import get_spark
+    from ethereum_etl_airflow_spark.streaming.tailer import ChangeLogTailer
+
+    spark = get_spark(
+        app_name=f"cdc-{args.app_id}",
+        master=f"local[{args.local}]" if args.local else "inherit",
+    )
+
+    checks = None
+    if args.checks:
+        from ethereum_etl_airflow_spark.verify import tokens_invariant, unique_key
+
+        checks = [unique_key("doc_id"), tokens_invariant()]
+
+    tailer = ChangeLogTailer(
+        spark,
+        args.feed_dir,
+        args.table_root,
+        app_id=args.app_id,
+        num_buckets=args.buckets,
+        post_batch_checks=checks,
+    )
+
+    if args.mode == "replay":
+        for li in tailer.replay_batches():
+            print(json.dumps(li))
+    else:
+        if not args.checkpoint:
+            ap.error("--checkpoint is required for --mode stream")
+        tailer.run_stream(
+            checkpoint_dir=args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.follow,
+        )
+        for li in tailer.applied:
+            print(json.dumps(li))
+
+    tps = tailer.total_events_per_sec()
+    print(json.dumps({"summary": True, "batches": len(tailer.applied), "events_per_sec": tps}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
