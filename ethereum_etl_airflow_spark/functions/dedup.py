@@ -31,7 +31,6 @@ from pyspark.sql import functions as F
 
 from ethereum_etl_airflow_spark.functions.hashing import (
     MINHASH_P,
-    minhash_perm,
     minhash_perm_sql,
     phash60,
     phash60_sql,
@@ -99,51 +98,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS ({_SHINGLES_SQL}),
     x AS (SELECT doc_id, unnest(sh) AS g FROM t),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    c AS (SELECT doc_id, len(sh) AS n_sh FROM t),
+    p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM x a JOIN x b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
     )
-    SELECT c.doc_a, c.doc_b,
-           len(list_intersect(ta.sh, tb.sh)) AS n_common,
-           len(list_distinct(ta.sh || tb.sh)) AS n_union,
-           len(list_intersect(ta.sh, tb.sh))::DOUBLE
-               / len(list_distinct(ta.sh || tb.sh)) AS jaccard
-    FROM cand c
-    JOIN t ta ON ta.doc_id = c.doc_a
-    JOIN t tb ON tb.doc_id = c.doc_b
-    WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
-              / len(list_distinct(ta.sh || tb.sh)) >= {JACCARD_THRESHOLD}
+    SELECT p.doc_a, p.doc_b, p.n_common,
+           (ca.n_sh + cb.n_sh - p.n_common) AS n_union,
+           p.n_common::DOUBLE / (ca.n_sh + cb.n_sh - p.n_common) AS jaccard
+    FROM p
+    JOIN c ca ON ca.doc_id = p.doc_a
+    JOIN c cb ON cb.doc_id = p.doc_b
+    WHERE p.n_common::DOUBLE / (ca.n_sh + cb.n_sh - p.n_common) >= {JACCARD_THRESHOLD}
     """,
     doc="n-gram Jaccard near-dup pairs via shared-shingle blocking",
     survey_ref="training-pipeline ops (n-gram Jaccard dedup)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact Jaccard over distinct 3-gram shingles.
-    Candidate generation is a self-join on EXPLODED shingles (pairs
-    must share >= 1 shingle) — blocking that avoids the full cross
-    join; the final Jaccard is computed on the compact per-doc shingle
-    arrays carried through the join."""
+    The blocking self-join on exploded shingles COUNTS shared shingles
+    in its own aggregation (shingles are distinct per doc, so the
+    match count IS |A∩B|); |A∪B| = |A|+|B|-|A∩B| comes from two tiny
+    per-doc size joins. No shingle array ever crosses the big join —
+    the shuffle carries (doc_a, doc_b) pairs only, and the hash
+    aggregation's map-side combine collapses them before the exchange."""
     d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
     sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
     x = sh.select("doc_id", F.explode("sh").alias("g"))
-    cand = (
+    counts = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    pairs = (
         x.alias("a")
         .join(x.alias("b"), (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
     )
-    ta, tb = sh.alias("ta"), sh.alias("tb")
-    n_common = F.size(F.array_intersect(F.col("ta.sh"), F.col("tb.sh")))
-    n_union = F.size(F.array_distinct(F.concat(F.col("ta.sh"), F.col("tb.sh"))))
-    jac = n_common.cast("double") / n_union
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    n_union = F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("n_common")
+    jac = F.col("n_common").cast("double") / n_union
     return (
-        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
-        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        pairs.join(F.broadcast(ca), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(cb), F.col("cb.doc_id") == F.col("doc_b"))
         .where(jac >= JACCARD_THRESHOLD)
         .select(
             "doc_a",
             "doc_b",
-            n_common.alias("n_common"),
+            "n_common",
             n_union.alias("n_union"),
             jac.alias("jaccard"),
         )
@@ -197,9 +197,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (functions/hashing.py)."""
     d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
     sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
-    hs = F.transform(F.col("sh"), lambda s: phash60(s) % MINHASH_P)
-    sig = F.array(
-        *[F.array_min(F.transform(hs, lambda xh: minhash_perm(xh, i))) for i in range(MINHASH_K)]
+    # signature in ONE fold over the shingle array: a K-slot running-min
+    # array updated per shingle. The shingle hash is bound to a lambda
+    # variable (via the single-element transform) so its md5 evaluates
+    # exactly once per shingle — K per-permutation array_min passes
+    # would re-evaluate it K times (HOF lambdas don't share
+    # subexpressions).
+    a_arr = F.array(*[F.lit(2 * i + 1).cast("long") for i in range(MINHASH_K)])
+    b_arr = F.array(*[F.lit(7919 * (i + 1)).cast("long") for i in range(MINHASH_K)])
+    sig = F.aggregate(
+        F.col("sh"),
+        F.array_repeat(F.lit(MINHASH_P).cast("long"), MINHASH_K),
+        lambda acc, s: F.element_at(
+            F.transform(
+                F.array(phash60(s) % MINHASH_P),
+                lambda h: F.zip_with(
+                    acc,
+                    F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % MINHASH_P),
+                    lambda x, y: F.least(x, y),
+                ),
+            ),
+            1,
+        ),
     )
     sigs = sh.select("doc_id", "sh", sig.alias("sig"))
     bands = sigs.select(

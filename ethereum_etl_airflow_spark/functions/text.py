@@ -211,22 +211,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = tokens_col()
     th = F.transform(toks, lambda x: phash60(x))
-    bit_votes = [
-        F.when(
-            F.aggregate(
-                th,
-                F.lit(0),
-                lambda acc, x: acc
-                + F.when(x.bitwiseAND(F.lit(1 << i).cast("long")) != 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << i).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        for i in range(32)
-    ]
-    simhash = bit_votes[0]
-    for bv in bit_votes[1:]:
-        simhash = simhash + bv
+
+    # SimHash in ONE pass: a 32-slot vote-counter array folds over the
+    # token-hash array (each token's md5 evaluated exactly once — a
+    # per-bit formulation would re-evaluate the hash column per bit,
+    # 32x the work, since higher-order-function lambdas don't share
+    # common subexpressions).
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                powers,
+                lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return d.select(
         "doc_id",
         phash60(F.array_join(F.slice(toks, 1, 3), " ")).alias("prefix_fp"),

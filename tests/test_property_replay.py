@@ -1,0 +1,89 @@
+"""Property-based replay equivalence (Hypothesis): for ANY event
+sequence — arbitrary ops, duplicate (doc_id, seq) re-emissions,
+arbitrary batch splits, shuffled arrival order — applying batches
+through the engine must equal the first-principles LWW fold.
+
+This generalizes the reference's idempotency guarantee (re-running any
+day converges — MERGE M1 semantics) from its fixed fixtures to the
+whole input space (SURVEY §5: the reference has no property tests;
+this is the engine's strongest correctness net)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+SCHEMA = "op string, doc_id string, seq long, tokens array<int>, n_tok int, source string"
+
+# a compact universe so collisions/duplicates/interleavings are common
+DOC_IDS = ["a", "b", "c", "d"]
+
+
+@st.composite
+def event_log(draw):
+    """An ordered event log with unique seq per event, then duplicated
+    and split into batches."""
+    n = draw(st.integers(min_value=1, max_value=24))
+    events = []
+    for seq in range(n):
+        doc = draw(st.sampled_from(DOC_IDS))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        if op == "D":
+            tokens, n_tok, source = None, None, None
+        else:
+            tokens = draw(st.lists(st.integers(0, 9), min_size=0, max_size=4))
+            n_tok = len(tokens)
+            source = draw(st.sampled_from(["web", "code"]))
+        events.append((op, doc, seq, tokens, n_tok, source))
+    # duplicate re-emissions (at-least-once): re-add a random subset
+    dup_idx = draw(st.lists(st.integers(0, n - 1), max_size=5))
+    dups = [events[i] for i in dup_idx]
+    # split into 1-4 batches, each internally shuffled
+    n_batches = draw(st.integers(1, 4))
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for ev in events:
+        batches[draw(st.integers(0, n_batches - 1))].append(ev)
+    for ev in dups:
+        batches[draw(st.integers(0, n_batches - 1))].append(ev)
+    for b in batches:
+        draw(st.permutations(b)) if len(b) > 1 else b
+    return events, batches
+
+
+def oracle_fold(events):
+    """First-principles LWW fold in plain Python."""
+    latest: dict[str, tuple] = {}
+    for op, doc, seq, tokens, n_tok, source in events:
+        cur = latest.get(doc)
+        if cur is None or seq >= cur[2]:
+            latest[doc] = (op, doc, seq, tokens, n_tok, source)
+    return sorted(
+        (d, tuple(t or []), nt, src)
+        for (op, d, _s, t, nt, src) in latest.values()
+        if op != "D"
+    )
+
+
+@given(event_log())
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_any_event_log_replays_to_oracle_fold(spark, tmp_path_factory, case):
+    events, batches = case
+    root = str(tmp_path_factory.mktemp("prop") / "t")
+    table = SnapshotTable(spark, root, num_buckets=4, compact_files=3)
+    for epoch, batch in enumerate(batches):
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, SCHEMA)
+        apply_changes(table, df, "prop", epoch=epoch)
+    got = sorted(
+        (r.doc_id, tuple(r.tokens or []), r.n_tok, r.source)
+        for r in table.read().select("doc_id", "tokens", "n_tok", "source").collect()
+    )
+    assert got == oracle_fold(events)
