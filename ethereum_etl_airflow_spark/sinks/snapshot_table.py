@@ -73,6 +73,8 @@ def fold_lww(df: DataFrame) -> DataFrame:
     highest (_seq, _epoch) wins — whole-row last-writer-wins. ONE hash
     aggregation (partial/final automatic), not a row_number window: a
     hot doc_id collapses map-side before the shuffle (skew defense)."""
+    if "_seq" not in df.columns:  # empty-table placeholder (no schema yet)
+        return df
     cols = [c for c in df.columns if c != "doc_id"]
     winner = F.max_by(F.struct(*cols), F.struct(F.col("_seq"), F.col("_epoch")))
     return (
@@ -153,36 +155,47 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ read
 
-    def _files(self, buckets: list[int] | None = None) -> list[str]:
-        snap = self.snapshot()
+    def _files(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> list[str]:
+        snap = self.snapshot(version)
         keys = [str(b) for b in buckets] if buckets is not None else list(snap["bucket_files"])
         out: list[str] = []
         for k in keys:
             out.extend(os.path.join(self.root, rel) for rel in snap["bucket_files"].get(k, []))
         return out
 
-    def read_files(self, buckets: list[int] | None = None) -> DataFrame:
-        """Unfolded scan of the current snapshot's data files (optionally
-        pruned to a bucket list) through the CURRENT schema — old files
-        gain null columns / widened ints transparently. One doc_id may
+    def read_files(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Unfolded scan of a snapshot's data files (optionally pruned to
+        a bucket list) through that snapshot's schema — old files gain
+        null columns / widened ints transparently. ``version`` time
+        travel reads any retained snapshot (Iceberg VERSION AS OF; the
+        retention window is expire_snapshots' keep_last). One doc_id may
         appear in several delta files; use :meth:`read_raw` for the
         folded single-row-per-key view."""
-        schema = self.schema()
-        files = self._files(buckets)
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
+        files = self._files(buckets, version)
         if schema is None or not files:
             empty_schema = schema or T.StructType([T.StructField("doc_id", T.StringType())])
             return self.spark.createDataFrame([], empty_schema)
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+    def read_raw(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Folded scan: one row per doc_id (highest (_seq, _epoch) wins).
         Includes tombstone rows (deleted keys retained with their seq so
         late stale events cannot resurrect them — Kafka-compaction-style)."""
-        return fold_lww(self.read_files(buckets))
+        return fold_lww(self.read_files(buckets, version))
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
         """Consumer-facing scan: folded, tombstones filtered out."""
-        df = self.read_raw(buckets)
+        df = self.read_raw(buckets, version)
         if "_tombstone" in df.columns:
             df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
         return df
