@@ -195,6 +195,26 @@ def test_threshold_compaction_preserves_state(spark, tmp_path):
     assert_state_matches(table, spark, cfg, cfg.n_batches - 1)
 
 
+def test_extreme_hot_key_skew(spark, tmp_path):
+    """50%+ of all events hitting ONE doc (worst-case write skew —
+    the reference's ERC-20 Transfer topic): state must stay correct
+    and the hot key must not blow up file counts (it lands in exactly
+    one bucket whose delta files stay bounded by compaction)."""
+    cfg = FeedConfig(
+        n_docs=100,
+        events_per_batch=500,
+        n_batches=4,
+        dup_tail=50,
+        hot_doc_fraction=0.01,  # 1 hot doc
+        hot_event_fraction=0.55,  # >half the feed hits it
+    )
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=8, compact_files=3)
+    for b in range(cfg.n_batches):
+        apply_changes(table, generate_batch(spark, cfg, b), "skew", epoch=b)
+    assert max(table.file_counts().values()) <= 3
+    assert_state_matches(table, spark, cfg, cfg.n_batches - 1)
+
+
 def test_tombstone_expiry_after_watermark(spark, tmp_path):
     import pyspark.sql.functions as F
 
