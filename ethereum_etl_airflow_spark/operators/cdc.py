@@ -87,14 +87,18 @@ def apply_changes(
     pay_cols = payload_columns(batch_df.schema)
     data_cols = [c for c in pay_cols if c != "doc_id"]
 
-    obs_in = Observation(f"cdc_in_{epoch}")
-    batch_df = batch_df.observe(
-        obs_in,
+    obs_cols = [
         F.count(F.lit(1)).alias("events_in"),
         F.min("seq").alias("min_seq"),
         F.max("seq").alias("max_seq"),
         F.count_if(F.col("op") == "D").alias("deletes_in"),
-    )
+    ]
+    has_ts = "ts" in batch_df.columns
+    if has_ts:
+        # freshness gauge (reference: *_have_latest.sql lag checks)
+        obs_cols.append(F.max("ts").alias("max_event_ts"))
+    obs_in = Observation(f"cdc_in_{epoch}")
+    batch_df = batch_df.observe(obs_in, *obs_cols)
 
     # schema evolution: union of target schema and the batch's payload
     # schema (added nullable columns, int->long widening)
@@ -168,8 +172,12 @@ def apply_changes(
     )
 
     wall = time.time() - t0
-    m_in = _obs_get(obs_in, {"events_in": 0, "min_seq": None, "max_seq": None, "deletes_in": 0})
+    m_in = _obs_get(
+        obs_in,
+        {"events_in": 0, "min_seq": None, "max_seq": None, "deletes_in": 0, "max_event_ts": None},
+    )
     m_out = _obs_get(obs_out, {"rows_out": 0, "tombstones_out": 0})
+    max_ts = m_in.get("max_event_ts")
     lineage = {
         "app_id": app_id,
         "epoch": epoch,
@@ -183,6 +191,9 @@ def apply_changes(
         "tombstones_out": m_out["tombstones_out"],
         "wall_sec": round(wall, 4),
         "events_per_sec": round(m_in["events_in"] / wall, 2) if wall > 0 else None,
+        "event_time_lag_sec": (
+            round(time.time() - max_ts.timestamp(), 1) if max_ts is not None else None
+        ),
     }
     return lineage
 

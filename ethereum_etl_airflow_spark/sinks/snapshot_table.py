@@ -57,6 +57,14 @@ from pyspark.sql import types as T
 from ethereum_etl_airflow_spark.config import NUM_BUCKETS
 
 VERSION_FILE = "VERSION"
+LOCK_FILE = "COMMIT_LOCK"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this commit's base snapshot was
+    read (the Iceberg optimistic-concurrency failure; reference
+    analogue: parse_state_manager.py:88-116 version lock). Re-read the
+    table and retry the merge."""
 
 #: bookkeeping columns stored alongside the payload in data files
 INTERNAL_COLS = ("_seq", "_epoch", "_tombstone")
@@ -140,18 +148,39 @@ class SnapshotTable:
 
     def _publish(self, snap: dict) -> None:
         """Manifest write + atomic pointer swap (the WRITE_TRUNCATE copy
-        publish of build_load_dag.py:174-182, made atomic via rename)."""
+        publish of build_load_dag.py:174-182, made atomic via rename),
+        under optimistic concurrency control: the version pointer must
+        still equal the commit's base version at publish time, checked
+        inside an exclusive lock — concurrent committers get
+        CommitConflictError and must re-read + retry (Iceberg CAS
+        commit semantics)."""
         os.makedirs(self._meta, exist_ok=True)
         v = snap["version"]
-        path = os.path.join(self._meta, f"snapshot-{v:012d}.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(snap, f)
-        os.replace(tmp, path)
-        vtmp = os.path.join(self._meta, f"{VERSION_FILE}.tmp-{uuid.uuid4().hex}")
-        with open(vtmp, "w") as f:
-            f.write(str(v))
-        os.replace(vtmp, os.path.join(self._meta, VERSION_FILE))
+        lock_path = os.path.join(self._meta, LOCK_FILE)
+        try:
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(
+                f"commit lock held by another writer ({lock_path})"
+            ) from e
+        try:
+            if self.current_version() != snap["parent_version"]:
+                raise CommitConflictError(
+                    f"table advanced to v{self.current_version()} since this "
+                    f"commit's base v{snap['parent_version']} — re-read and retry"
+                )
+            path = os.path.join(self._meta, f"snapshot-{v:012d}.json")
+            tmp = path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(snap, f)
+            os.replace(tmp, path)
+            vtmp = os.path.join(self._meta, f"{VERSION_FILE}.tmp-{uuid.uuid4().hex}")
+            with open(vtmp, "w") as f:
+                f.write(str(v))
+            os.replace(vtmp, os.path.join(self._meta, VERSION_FILE))
+        finally:
+            os.close(lock_fd)
+            os.unlink(lock_path)
 
     # ------------------------------------------------------------------ read
 

@@ -195,6 +195,45 @@ def test_threshold_compaction_preserves_state(spark, tmp_path):
     assert_state_matches(table, spark, cfg, cfg.n_batches - 1)
 
 
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a commit whose base snapshot is stale,
+    or raced by a lock holder, must fail with CommitConflictError
+    (Iceberg CAS semantics) instead of clobbering the manifest."""
+    import os
+
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import CommitConflictError
+
+    cfg = FeedConfig(n_docs=50, events_per_batch=100, n_batches=1)
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    apply_changes(table, generate_batch(spark, cfg, 0), "occ", epoch=0)
+    cur = table.snapshot()
+    # stale base: parent_version one behind the actual head
+    stale = dict(cur)
+    stale["version"] = cur["version"] + 1
+    stale["parent_version"] = cur["version"] - 1
+    with pytest.raises(CommitConflictError, match="advanced"):
+        table._publish(stale)
+    # lock held by a concurrent writer
+    lock = os.path.join(str(tmp_path / "t"), "_meta", "COMMIT_LOCK")
+    open(lock, "w").close()
+    ok = dict(cur)
+    ok["version"] = cur["version"] + 1
+    ok["parent_version"] = cur["version"]
+    with pytest.raises(CommitConflictError, match="lock"):
+        table._publish(ok)
+    os.unlink(lock)
+    # with the lock released and a correct base, the commit proceeds
+    table._publish(ok)
+    assert table.current_version() == cur["version"] + 1
+
+
+def test_lineage_reports_event_time_lag(spark, tmp_path):
+    cfg = FeedConfig(n_docs=50, events_per_batch=100, n_batches=1)
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    li = apply_changes(table, generate_batch(spark, cfg, 0), "lag", epoch=0)
+    assert li["event_time_lag_sec"] is not None and li["event_time_lag_sec"] > 0
+
+
 def test_extreme_hot_key_skew(spark, tmp_path):
     """50%+ of all events hitting ONE doc (worst-case write skew —
     the reference's ERC-20 Transfer topic): state must stay correct
