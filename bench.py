@@ -17,7 +17,12 @@ Measurements:
    generation cost is excluded.
 
 3. **Scaling (N vs 4N)** — BASELINE rule evidence: the same replay at
-   ``local[LO]`` and ``local[HI]`` (default 4 vs 16).
+   ``local[LO]`` and ``local[HI]`` (default 4 vs 16), with the whole
+   process PINNED to exactly that many CPUs via ``sched_setaffinity``
+   (inherited by the JVM): in unpinned local[N] mode, GC, parquet
+   writer, and shuffle IO threads spill onto idle cores, flattering
+   the small configuration — pinning is the honest N-core-cluster
+   simulation.
    *Why not 8 vs 32*: this sandbox VM reports 32 vCPUs but steal time
    is ~50% and a pure-CPU probe (embarrassingly parallel hash-sum, no
    shuffle) shows NO speedup past 16 threads — vCPUs 17-32 are not
@@ -27,6 +32,11 @@ Measurements:
    minute to minute), so the A/B replays alternate LO/HI and the best
    warm-batch throughput per level is used (steal noise only ever
    slows a run, so best-of-N approaches true capability).
+
+4. **Bucketed ingest** — the same replay from a feed pre-partitioned
+   by the table's bucket function (key-partitioned Kafka topic shape):
+   the apply path becomes shuffle-free (``cdc_bucketed`` in the
+   output; ~10-15% faster and the production deployment shape).
 
 Work files live on a RAM-backed dir when available (/dev/shm): the
 metric targets engine compute, not this VM's disk-writeback stalls; a
@@ -89,6 +99,44 @@ def make_session(cpus: int):
     )
 
 
+def scale_trial_subprocess(cpus: int, feed_dir: str, table_root: str, app: str) -> dict:
+    """One pinned scaling trial in a FRESH subprocess: CPU affinity is
+    set before exec (inherited by the new JVM), so the whole process
+    tree — executor threads, GC, parquet writers, shuffle IO — really
+    runs on exactly `cpus` CPUs. A shared-JVM local[N] run would let
+    auxiliary threads spill onto idle cores and flatter small N."""
+    import subprocess
+
+    def pin():
+        try:
+            os.sched_setaffinity(0, set(range(cpus)))
+        except OSError:
+            pass
+
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), feed_dir, table_root, app],
+        capture_output=True,
+        text=True,
+        preexec_fn=pin,
+        timeout=1200,
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    print(f"[bench] scale worker cpus={cpus} failed: {res.stderr[-500:]}", file=sys.stderr)
+    return {"warm_events_per_sec": 0.0, "probe_sec": None}
+
+
+def scale_worker_main(cpus: int, feed_dir: str, table_root: str, app: str) -> None:
+    spark = make_session(cpus)
+    r = replay(spark, feed_dir, table_root, app)
+    r["probe_sec"] = cpu_probe(spark, cpus)
+    spark.stop()
+    print(json.dumps(r))
+
+
 def run_headline_queries(spark) -> dict[str, float]:
     from ethereum_etl_airflow_spark.queries import get_queries
 
@@ -132,12 +180,14 @@ def cdc_feed_config(n_events: int):
     )
 
 
-def replay(spark, feed_dir: str, table_root: str, app: str) -> dict:
+def replay(spark, feed_dir: str, table_root: str, app: str, bucketed: bool = False) -> dict:
     """Replay all feed batches into a fresh snapshot table."""
     from ethereum_etl_airflow_spark.streaming.tailer import ChangeLogTailer
 
     shutil.rmtree(table_root, ignore_errors=True)
-    tailer = ChangeLogTailer(spark, feed_dir, table_root, app_id=app, verify=False)
+    tailer = ChangeLogTailer(
+        spark, feed_dir, table_root, app_id=app, verify=False, feed_bucketed=bucketed
+    )
     t0 = time.time()
     lineage = tailer.replay_batches()
     wall = time.time() - t0
@@ -163,10 +213,17 @@ def main() -> None:
         # ---- big session: headline queries + feed gen + CDC replay
         spark = make_session(CPUS)
         queries = run_headline_queries(spark)
+        from ethereum_etl_airflow_spark.config import NUM_BUCKETS
         from ethereum_etl_airflow_spark.sources.feed import write_feed
 
         write_feed(spark, cfg, feed_dir)
         cdc_hi = replay(spark, feed_dir, os.path.join(work, "t_main"), f"main{CPUS}")
+        # bucketed (shuffle-free) ingest: the Kafka key-partitioned shape
+        feed_b = os.path.join(work, "feed_bucketed")
+        write_feed(spark, cfg, feed_b, bucketed_for=NUM_BUCKETS)
+        cdc_bucketed = replay(
+            spark, feed_b, os.path.join(work, "t_bucketed"), f"bk{CPUS}", bucketed=True
+        )
         probe_main = cpu_probe(spark, CPUS)
         spark.stop()
 
@@ -176,17 +233,18 @@ def main() -> None:
             probes = {SCALE_LO: [], SCALE_HI: []}
             for trial in range(SCALE_TRIALS):
                 for cpus in (SCALE_LO, SCALE_HI):  # alternate to ride out host noise
-                    s = make_session(cpus)
-                    r = replay(s, feed_dir, os.path.join(work, f"t_{cpus}"), f"s{cpus}_{trial}")
-                    probes[cpus].append(cpu_probe(s, cpus))
-                    s.stop()
-                    tp = r["warm_events_per_sec"] or r["events_per_sec"] or 0.0
+                    r = scale_trial_subprocess(
+                        cpus, feed_dir, os.path.join(work, f"t_{cpus}"), f"s{cpus}_{trial}"
+                    )
+                    if r.get("probe_sec") is not None:
+                        probes[cpus].append(r["probe_sec"])
+                    tp = r.get("warm_events_per_sec") or r.get("events_per_sec") or 0.0
                     best[cpus] = max(best[cpus], tp)
             ratio = SCALE_HI / SCALE_LO
             eff = round(best[SCALE_HI] / (ratio * best[SCALE_LO]), 3) if best[SCALE_LO] else None
             probe_speedup = (
                 round(min(probes[SCALE_LO]) / min(probes[SCALE_HI]), 2)
-                if probes[SCALE_HI]
+                if probes[SCALE_LO] and probes[SCALE_HI]
                 else None
             )
             scaling = {
@@ -210,6 +268,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "headline_total_sec": round(sum(ok.values()), 3),
         "cdc": cdc_hi,
+        "cdc_bucketed": cdc_bucketed,
         "cdc_feed_events": BENCH_EVENTS,
         "cpu_probe_sec_main": probe_main,
         "scaling": scaling,
@@ -219,4 +278,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-worker":
+        scale_worker_main(int(sys.argv[2]), sys.argv[3], sys.argv[4], sys.argv[5])
+    else:
+        main()

@@ -77,6 +77,7 @@ def apply_changes(
     epoch: int,
     verify: bool = True,
     fold_batch: bool = False,
+    feed_bucketed: bool = False,
 ) -> dict | None:
     """Apply one change batch; returns lineage dict, or None if the
     epoch was already committed (fenced replay — exactly-once)."""
@@ -162,6 +163,11 @@ def apply_changes(
         F.count_if(F.col("_tombstone")).alias("tombstones_out"),
     )
 
+    # pre-bucketed feed (key-partitioned Kafka topic shape): the batch's
+    # partitioning already groups buckets -> zero-shuffle ingest. A
+    # compaction commit mixes in groupBy output, which is doc_id- not
+    # bucket-partitioned, so those (rare, amortized) commits realign.
+    align = not (feed_bucketed and not compact_set and not fold_batch)
     snap = table.commit(
         out,
         replace_buckets=compact_set,
@@ -169,6 +175,7 @@ def apply_changes(
         epoch=epoch,
         new_schema=new_schema,
         lineage=None,  # filled below once observations resolve
+        align_buckets=align,
     )
 
     wall = time.time() - t0

@@ -256,12 +256,18 @@ class SnapshotTable:
         epoch: int,
         lineage: dict | None = None,
         new_schema: T.StructType | None = None,
+        align_buckets: bool = True,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
         the bucket's COMPLETE new content (compaction — file list
         replaced), for every other bucket they are a DELTA (files
         appended). Epoch fencing property is advanced for ``app_id``.
+
+        ``align_buckets=False`` skips the bucket repartition — valid
+        ONLY when the caller knows ``out_df``'s partitioning already
+        groups buckets (pre-bucketed feed, e.g. a key-partitioned
+        Kafka topic): the ingest becomes shuffle-free.
 
         Caller owns the MERGE/fold semantics; this layer guarantees
         only atomicity + fencing (the Iceberg-commit seam).
@@ -270,12 +276,10 @@ class SnapshotTable:
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self._data, commit_id)
 
-        n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-        (
-            out_df.repartition(n_out, "_bucket")
-            .write.partitionBy("_bucket")
-            .parquet(out_dir)
-        )
+        if align_buckets:
+            n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            out_df = out_df.repartition(n_out, "_bucket")
+        out_df.write.partitionBy("_bucket").parquet(out_dir)
 
         # collect the files each bucket landed in
         written: dict[str, list[str]] = {}

@@ -45,6 +45,7 @@ class ChangeLogTailer:
         lineage_dir: str | None = None,
         verify: bool = True,
         post_batch_checks: list | None = None,
+        feed_bucketed: bool = False,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -57,6 +58,9 @@ class ChangeLogTailer:
         # (build_load_dag.py:220-234) — here one combined aggregation
         # over the folded table per applied batch (verify.run_checks)
         self.post_batch_checks = post_batch_checks
+        # feed pre-partitioned by the table's bucket function (e.g. a
+        # key-partitioned Kafka topic) -> shuffle-free apply
+        self.feed_bucketed = feed_bucketed
         self.applied: list[dict] = []
 
     def _run_post_checks(self, lineage: dict) -> None:
@@ -103,7 +107,12 @@ class ChangeLogTailer:
                 continue
             batch_df = self.spark.read.parquet(path)
             lineage = apply_changes(
-                self.table, batch_df, self.app_id, epoch=batch_id, verify=self.verify
+                self.table,
+                batch_df,
+                self.app_id,
+                epoch=batch_id,
+                verify=self.verify,
+                feed_bucketed=self.feed_bucketed,
             )
             if lineage is not None:
                 self._run_post_checks(lineage)
@@ -145,6 +154,7 @@ class ChangeLogTailer:
                 stream_app,
                 epoch=epoch_id,
                 verify=self.verify,
+                feed_bucketed=self.feed_bucketed,
             )
             if lineage is not None:
                 self._run_post_checks(lineage)

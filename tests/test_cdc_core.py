@@ -195,6 +195,23 @@ def test_threshold_compaction_preserves_state(spark, tmp_path):
     assert_state_matches(table, spark, cfg, cfg.n_batches - 1)
 
 
+def test_bucketed_feed_shuffle_free_apply(spark, tmp_path):
+    """A feed pre-partitioned by the table's bucket function (Kafka
+    key-partitioning shape) applies WITHOUT the ingest shuffle and
+    converges to the same state; file counts stay bounded."""
+    cfg = FeedConfig(n_docs=300, events_per_batch=700, n_batches=4, dup_tail=80)
+    feed = str(tmp_path / "feed")
+    write_feed(spark, cfg, feed, bucketed_for=16)
+    tailer = ChangeLogTailer(
+        spark, feed, str(tmp_path / "t"), app_id="bf", num_buckets=16,
+        feed_bucketed=True,
+    )
+    tailer.replay_batches()
+    assert_state_matches(tailer.table, spark, cfg, cfg.n_batches - 1)
+    # compaction keeps files bounded even without per-batch alignment
+    assert max(tailer.table.file_counts().values()) <= tailer.table.compact_files + 2
+
+
 def test_commit_conflict_detection(spark, tmp_path):
     """Optimistic concurrency: a commit whose base snapshot is stale,
     or raced by a lock holder, must fail with CommitConflictError
