@@ -533,6 +533,42 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A6: AVG as tolerance band — days whose event count deviates from 2x
+# the overall daily average (the verify_streaming count-band check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "avg_tolerance_band",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events
+        FROM events GROUP BY CAST(ts AS DATE)
+    ), band AS (
+        SELECT CAST(AVG(n_events) AS DOUBLE) AS avg_events FROM daily
+    )
+    SELECT d.event_date, d.n_events, b.avg_events,
+           (d.n_events > 2 * b.avg_events) AS above_band
+    FROM daily d CROSS JOIN band b
+    """,
+    doc="daily counts vs 2x average tolerance band (scalar-agg cross join)",
+    survey_ref="verify_streaming/sqls/transactions_count.sql (A6); J9 scalar compare",
+)
+def avg_tolerance_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count("*").alias("n_events")
+    )
+    band = daily.agg(F.avg("n_events").cast("double").alias("avg_events"))
+    return daily.crossJoin(F.broadcast(band)).select(
+        "event_date",
+        "n_events",
+        "avg_events",
+        (F.col("n_events") > 2 * F.col("avg_events")).alias("above_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # J6: LEFT JOIN dimension enrichment tolerating misses
 # ---------------------------------------------------------------------------
 
