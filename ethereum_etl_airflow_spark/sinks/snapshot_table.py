@@ -229,6 +229,26 @@ class SnapshotTable:
             df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
         return df
 
+    def lookup(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
+        """Point lookup: prune to the keys' buckets (manifest-level file
+        pruning), push the key predicate into the parquet scan (row
+        groups skip via min/max stats — files are doc_id-sorted within
+        buckets), then fold only what's left. Cost is O(|keys| ·
+        files-per-bucket), independent of table size."""
+        # compute buckets with the same hash expression the writer used
+        ids_df = self.spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+        bks = [
+            r[0]
+            for r in ids_df.select(
+                bucket_expr(F.col("doc_id"), self.num_buckets)
+            ).distinct().collect()
+        ]
+        pruned = self.read_files(sorted(bks), version).where(F.col("doc_id").isin(doc_ids))
+        folded = fold_lww(pruned)
+        if "_tombstone" in folded.columns:
+            folded = folded.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+        return folded
+
     # ----------------------------------------------------------------- write
 
     @staticmethod
@@ -279,7 +299,13 @@ class SnapshotTable:
         if align_buckets:
             n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             out_df = out_df.repartition(n_out, "_bucket")
-        out_df.write.partitionBy("_bucket").parquet(out_dir)
+        # sort by key within each file: parquet column min/max stats then
+        # let point lookups skip whole row groups (Iceberg sort-order
+        # analogue; the write already sorts by _bucket for partitionBy,
+        # adding doc_id costs nothing extra)
+        out_df.sortWithinPartitions("_bucket", "doc_id").write.partitionBy(
+            "_bucket"
+        ).parquet(out_dir)
 
         # collect the files each bucket landed in
         written: dict[str, list[str]] = {}

@@ -244,6 +244,24 @@ def test_commit_conflict_detection(spark, tmp_path):
     assert table.current_version() == cur["version"] + 1
 
 
+def test_point_lookup_prunes_and_folds(spark, tmp_path):
+    cfg = FeedConfig(n_docs=200, events_per_batch=500, n_batches=3, dup_tail=50)
+    table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=16)
+    for b in range(cfg.n_batches):
+        apply_changes(table, generate_batch(spark, cfg, b), "pl", epoch=b)
+    want = {
+        r.doc_id: (tuple(r.tokens or []), r.n_tok, r.source)
+        for r in lww_expected_state(spark, cfg, 2).collect()
+    }
+    some_live = sorted(want)[:3]
+    got = table.lookup(some_live).collect()
+    assert {r.doc_id for r in got} == set(some_live)
+    for r in got:
+        assert (tuple(r.tokens or []), r.n_tok, r.source) == want[r.doc_id]
+    # a deleted/unknown key returns nothing
+    assert table.lookup(["doc_does_not_exist"]).count() == 0
+
+
 def test_lineage_reports_event_time_lag(spark, tmp_path):
     cfg = FeedConfig(n_docs=50, events_per_batch=100, n_batches=1)
     table = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
