@@ -57,6 +57,7 @@ def compile_spec(
     spec: ExtractionSpec,
     source: DataFrame,
     resolve_ref=None,
+    error_column: bool = False,
 ) -> DataFrame:
     """Compile one spec against a source DataFrame.
 
@@ -85,14 +86,40 @@ def compile_spec(
             out = out.where(F.col("user_id").cast("string").isin(lits))
 
     # F1-F3: payload decode. JSON payloads decode JVM-side (from_json,
-    # whole-stage codegen — the fast path); parse failure -> null row
-    # dropped below (P9, parse_logs_udf.sql:12-16 null-on-error).
-    out = out.withColumn("_decoded", F.from_json(F.col("props"), decoded_struct_type(spec)))
-    out = out.where(F.col("_decoded").isNotNull())  # P9
+    # whole-stage codegen — the fast path). Failure handling follows the
+    # reference's two UDF styles:
+    #   log parse  (default)      -> undecodable rows DROPPED
+    #                                (P9, parse_logs_udf.sql:12-16)
+    #   trace parse (error_column) -> row kept, `error` column filled
+    #                                (parse_traces_udf.sql:24-27)
+    # from_json yields an all-null struct (not NULL) on malformed input,
+    # so failure detection uses columnNameOfCorruptRecord: a corrupt
+    # payload lands verbatim in _corrupt.
+    decode_schema = T.StructType(
+        list(decoded_struct_type(spec).fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    out = out.withColumn(
+        "_decoded",
+        F.from_json(
+            F.col("props"),
+            decode_schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    failed = F.col("_decoded").isNull() | F.col("_decoded._corrupt").isNotNull()
+    if error_column:
+        err = F.when(
+            failed,
+            F.concat(F.lit("parse failure: "), F.coalesce(F.col("props"), F.lit("<null>"))),
+        )
+    else:
+        out = out.where(~failed)  # P9
 
     # P1/P2: metadata + expanded decoded fields with typed casts
     cols = [F.col(c) for c in META_COLUMNS]
     cols += [F.col(f"_decoded.{f.name}").alias(f.name) for f in spec.parser.fields]
+    if error_column:
+        cols.append(err.alias("error"))
     return out.select(*cols)
 
 

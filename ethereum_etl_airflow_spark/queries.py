@@ -533,6 +533,37 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.8 string patterns: LIKE / prefix / IN-list over the part dimension
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_pattern_filters",
+    oracle="""
+    SELECT p_partkey AS partkey, p_name AS part_name, p_type AS part_type,
+           (p_type LIKE '%BRASS%') AS is_brass,
+           (p_brand IN ('Brand#11', 'Brand#22')) AS featured_brand
+    FROM part
+    WHERE p_name LIKE '%green%' OR p_type LIKE 'ECONOMY%'
+    """,
+    doc="LIKE patterns, prefix match, IN-list over a dimension",
+    survey_ref="SURVEY §2.8 string row; parse_traces.sql:20 (P4 prefix)",
+)
+def string_pattern_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").like("%green%") | F.col("p_type").like("ECONOMY%"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_type").alias("part_type"),
+            F.col("p_type").like("%BRASS%").alias("is_brass"),
+            F.col("p_brand").isin("Brand#11", "Brand#22").alias("featured_brand"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # A6: AVG as tolerance band — days whose event count deviates from 2x
 # the overall daily average (the verify_streaming count-band check)
 # ---------------------------------------------------------------------------

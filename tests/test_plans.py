@@ -182,6 +182,30 @@ def test_compile_pandas_parity_with_jvm_path(spark):
     assert jvm.exceptAll(pnd).count() == 0 and pnd.exceptAll(jvm).count() == 0
 
 
+def test_compile_error_column_keeps_bad_rows(spark):
+    """Trace-style decode: malformed payloads keep their row with the
+    error column filled (parse_traces_udf.sql:24-27), instead of the
+    log-style drop."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "purchase", '{"k": 5}'),
+        (2, "2024-01-01 00:00:01", 11, "purchase", "THIS IS NOT JSON"),
+        (3, "2024-01-01 00:00:02", 12, "click", '{"k": 7}'),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, props string"
+    ).select("event_id", F.col("ts_s").cast("timestamp_ntz").alias("ts"), "user_id", "event_type", "props")
+    spec = mk_spec("t")
+    dropped = compile_spec(spec, ev)
+    kept = compile_spec(spec, ev, error_column=True)
+    assert dropped.count() == 1  # log style: bad row gone
+    out = {r.event_id: (r.k, r.error) for r in kept.collect()}
+    assert out[1] == (5, None)
+    assert out[2][0] is None and "parse failure" in out[2][1]
+    assert 3 not in out  # selector filter still applies
+
+
 def test_compile_selector_filter_pushed_down(spark):
     """The selector predicate must reach the parquet scan (SURVEY §4
     pushdown requirement) — visible as PushedFilters in the plan."""
