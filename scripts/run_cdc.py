@@ -41,7 +41,15 @@ def main() -> int:
     ap.add_argument("--feed-dir", required=True)
     ap.add_argument("--table-root", required=True)
     ap.add_argument("--checkpoint", default=None, help="required for --mode stream")
-    ap.add_argument("--mode", choices=["replay", "stream"], default="replay")
+    ap.add_argument(
+        "--mode",
+        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup"],
+        default="replay",
+        help="ingest modes (replay/stream) or maintenance ops on the table",
+    )
+    ap.add_argument("--keep-last", type=int, default=2, help="expire-snapshots retention")
+    ap.add_argument("--watermark-seq", type=int, default=None, help="expire-tombstones bound")
+    ap.add_argument("--rollup-root", default=None, help="stats table root for --mode rollup")
     ap.add_argument("--app-id", default="cdc")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--local", type=int, default=None, help="local[N] master (omit under spark-submit)")
@@ -72,6 +80,29 @@ def main() -> int:
         num_buckets=args.buckets,
         post_batch_checks=checks,
     )
+
+    if args.mode in ("compact", "expire-snapshots", "expire-tombstones", "rollup"):
+        # maintenance ops (reference: clean DAG M3/M4; Iceberg table maintenance)
+        if args.mode == "compact":
+            snap = tailer.table.compact()
+            print(json.dumps({"op": "compact", "version": snap["version"]}))
+        elif args.mode == "expire-snapshots":
+            removed = tailer.table.expire_snapshots(keep_last=args.keep_last)
+            print(json.dumps({"op": "expire-snapshots", "files_removed": removed}))
+        elif args.mode == "expire-tombstones":
+            if args.watermark_seq is None:
+                ap.error("--watermark-seq is required for expire-tombstones")
+            snap = tailer.table.expire_tombstones(args.watermark_seq)
+            print(json.dumps({"op": "expire-tombstones", "version": snap["version"]}))
+        else:
+            from ethereum_etl_airflow_spark.operators.rollup import IncrementalRollup
+
+            rollup = IncrementalRollup(
+                tailer.table, args.rollup_root or f"{args.table_root}_stats"
+            )
+            print(json.dumps({"op": "rollup", "result": rollup.refresh()}))
+        spark.stop()
+        return 0
 
     if args.mode == "replay":
         for li in tailer.replay_batches():
