@@ -533,6 +533,38 @@ def scalar_functions_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.8 date/time arithmetic: DATE_ADD, TIMESTAMP_DIFF, truncation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_arithmetic",
+    oracle="""
+    SELECT event_id,
+           CAST(ts AS DATE) AS event_date,
+           CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS plus_week,
+           date_diff('minute', TIMESTAMP '2024-01-01 00:00:00', ts) AS minutes_since_y24,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+    """,
+    doc="date_add, timestamp-diff, hour truncation (interval arithmetic)",
+    survey_ref="SURVEY §2.8 date row (DATE_ADD, TIMESTAMP_DIFF, TIMESTAMP_TRUNC)",
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.where(F.col("ts").cast("date") >= F.lit("2024-01-01").cast("date")).select(
+        "event_id",
+        F.col("ts").cast("date").alias("event_date"),
+        F.date_add(F.col("ts").cast("date"), 7).alias("plus_week"),
+        F.expr(
+            "timestampdiff(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts)"
+        ).alias("minutes_since_y24"),
+        F.date_trunc("hour", "ts").cast("timestamp").alias("hour_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.8 string patterns: LIKE / prefix / IN-list over the part dimension
 # ---------------------------------------------------------------------------
 
