@@ -69,7 +69,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
 BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 N_BATCHES = 4
 
