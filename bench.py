@@ -224,6 +224,21 @@ def main() -> None:
 
         write_feed(spark, cfg, feed_dir)
         cdc_hi = replay(spark, feed_dir, os.path.join(work, "t_main"), f"main{CPUS}")
+        # read-side cost of merge-on-read: folded scan before vs after
+        # full compaction (answers the MOR read-amplification question)
+        from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+        t_main = SnapshotTable(spark, os.path.join(work, "t_main"))
+        read_amp = {}
+        for phase in ("delta", "compacted"):
+            if phase == "compacted":
+                t0 = time.time()
+                t_main.compact()
+                read_amp["compact_sec"] = round(time.time() - t0, 3)
+            t0 = time.time()
+            t_main.read().write.format("noop").mode("overwrite").save()
+            read_amp[f"read_{phase}_sec"] = round(time.time() - t0, 3)
+        read_amp["max_files_per_bucket_before_compact"] = cdc_hi["batches"]
         # bucketed (shuffle-free) ingest: the Kafka key-partitioned shape
         feed_b = os.path.join(work, "feed_bucketed")
         write_feed(spark, cfg, feed_b, bucketed_for=NUM_BUCKETS)
@@ -274,6 +289,7 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "headline_total_sec": round(sum(ok.values()), 3),
         "cdc": cdc_hi,
+        "cdc_read_amplification": read_amp,
         "cdc_bucketed": cdc_bucketed,
         "cdc_feed_events": BENCH_EVENTS,
         "cpu_probe_sec_main": probe_main,
