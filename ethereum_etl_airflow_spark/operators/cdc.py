@@ -51,6 +51,7 @@ commit's written-file listing — also no extra pass.
 from __future__ import annotations
 
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -199,10 +200,20 @@ def apply_changes(
         "wall_sec": round(wall, 4),
         "events_per_sec": round(m_in["events_in"] / wall, 2) if wall > 0 else None,
         "event_time_lag_sec": (
-            round(time.time() - max_ts.timestamp(), 1) if max_ts is not None else None
+            round(time.time() - _utc_epoch(max_ts), 1) if max_ts is not None else None
         ),
     }
     return lineage
+
+
+def _utc_epoch(ts: datetime) -> float:
+    """Epoch seconds for a timestamp collected from a UTC-pinned Spark
+    session. Spark returns naive datetimes; naive ``.timestamp()`` would
+    reinterpret them in the host's local timezone, skewing the lag by
+    the UTC offset on any non-UTC host — pin UTC explicitly."""
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=timezone.utc)
+    return ts.timestamp()
 
 
 def _obs_get(obs: Observation, defaults: dict) -> dict:

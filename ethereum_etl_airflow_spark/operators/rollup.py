@@ -88,29 +88,56 @@ class IncrementalRollup:
     def last_target_version(self) -> int:
         return self.stats.last_epoch(self._app)
 
+    def _base_snapshot_available(self, version: int) -> bool:
+        try:
+            self.target.snapshot(version)
+            return True
+        except FileNotFoundError:
+            return False
+
+    def _full_recompute(self, to_v: int) -> DataFrame:
+        """Rebuild the stats from the live table at ``to_v`` — the
+        fallback when the diff base snapshot was expired by retention
+        (retention drops oldest-first, so a missing intermediate implies
+        a missing base). Cost is one full scan; correctness is exact."""
+        return (
+            self.target.read(version=to_v)
+            .select(
+                F.coalesce(F.col(self.group), F.lit("<null>")).alias("doc_id"),
+                F.coalesce(F.col("n_tok").cast("long"), F.lit(0)).alias("_toks"),
+            )
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_toks").alias("n_toks"))
+        )
+
     def refresh(self) -> dict | None:
         """Advance to the target's current version; returns commit info
-        or None when already up to date."""
+        or None when already up to date. If the diff base snapshot has
+        been expired (``expire_snapshots`` outpaced the rollup cadence),
+        falls back to a full recompute instead of crashing — the rollup
+        always catches up."""
         from_v = self.last_target_version()
         to_v = self.target.current_version()
         if to_v <= from_v:
             return None
-        delta = rollup_delta(self.target, from_v, to_v, self.group)
-
-        cur = self.read_stats().select("doc_id", "n_docs", "n_toks")
-        merged = (
-            delta.select(
-                F.col("group_key").alias("doc_id"),
-                F.col("d_docs"),
-                F.col("d_toks"),
+        if from_v >= 0 and not self._base_snapshot_available(from_v):
+            merged = self._full_recompute(to_v)
+        else:
+            delta = rollup_delta(self.target, from_v, to_v, self.group)
+            cur = self.read_stats().select("doc_id", "n_docs", "n_toks")
+            merged = (
+                delta.select(
+                    F.col("group_key").alias("doc_id"),
+                    F.col("d_docs"),
+                    F.col("d_toks"),
+                )
+                .join(cur, "doc_id", "full_outer")
+                .select(
+                    "doc_id",
+                    (F.coalesce(F.col("n_docs"), F.lit(0)) + F.coalesce(F.col("d_docs"), F.lit(0))).alias("n_docs"),
+                    (F.coalesce(F.col("n_toks"), F.lit(0)) + F.coalesce(F.col("d_toks"), F.lit(0))).alias("n_toks"),
+                )
             )
-            .join(cur, "doc_id", "full_outer")
-            .select(
-                "doc_id",
-                (F.coalesce(F.col("n_docs"), F.lit(0)) + F.coalesce(F.col("d_docs"), F.lit(0))).alias("n_docs"),
-                (F.coalesce(F.col("n_toks"), F.lit(0)) + F.coalesce(F.col("d_toks"), F.lit(0))).alias("n_toks"),
-            )
-        )
         out = merged.select(
             "doc_id",
             F.lit(to_v).cast("long").alias("_seq"),

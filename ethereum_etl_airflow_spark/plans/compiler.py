@@ -42,6 +42,11 @@ def decoded_struct_type(spec: ExtractionSpec) -> T.StructType:
     )
 
 
+def _path_key(path: str) -> str:
+    """Top-level JSON key of a '$.key' path (grammar enforced by parse_spec)."""
+    return path[2:] if path.startswith("$.") else path
+
+
 def _spark_type(name: str) -> T.DataType:
     return {
         "string": T.StringType(),
@@ -95,8 +100,16 @@ def compile_spec(
     # from_json yields an all-null struct (not NULL) on malformed input,
     # so failure detection uses columnNameOfCorruptRecord: a corrupt
     # payload lands verbatim in _corrupt.
+    # Decode schema is keyed by each field's JSON *path* key (path is
+    # validated to the single-level '$.key' grammar in parse_spec), so a
+    # field whose path aliases a different payload key decodes correctly
+    # — matching compile_spec_pandas, which always honored path.
+    key_types: dict[str, T.DataType] = {}
+    for f in spec.parser.fields:
+        key_types.setdefault(_path_key(f.path), _spark_type(f.type))
     decode_schema = T.StructType(
-        list(decoded_struct_type(spec).fields) + [T.StructField("_corrupt", T.StringType())]
+        [T.StructField(k, t, True) for k, t in key_types.items()]
+        + [T.StructField("_corrupt", T.StringType())]
     )
     out = out.withColumn(
         "_decoded",
@@ -117,7 +130,10 @@ def compile_spec(
 
     # P1/P2: metadata + expanded decoded fields with typed casts
     cols = [F.col(c) for c in META_COLUMNS]
-    cols += [F.col(f"_decoded.{f.name}").alias(f.name) for f in spec.parser.fields]
+    cols += [
+        F.col(f"_decoded.{_path_key(f.path)}").cast(_spark_type(f.type)).alias(f.name)
+        for f in spec.parser.fields
+    ]
     if error_column:
         cols.append(err.alias("error"))
     return out.select(*cols)

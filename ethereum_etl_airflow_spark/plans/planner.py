@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -98,20 +99,76 @@ class PlannerState:
         except FileNotFoundError:
             return {"_version": 0, "_last_pos": None, "hashes": {}}
 
+    #: stale-lock TTL (seconds): a dead planner's lock is broken after this
+    LOCK_TTL_SEC = 300.0
+
     def save(self, state: dict, expected_version: int) -> None:
-        cur = self.load()
-        if cur["_version"] != expected_version:
-            raise RuntimeError(
-                f"optimistic lock failure: state version {cur['_version']} != "
-                f"expected {expected_version} (concurrent planner run)"
-            )
-        state = dict(state)
-        state["_version"] = expected_version + 1
+        """Check-and-swap of the state file, serialized under an
+        exclusive O_CREAT|O_EXCL lockfile so two concurrent planners
+        cannot both pass the version check and clobber each other
+        (reference: parse_state_manager.py:88-116 version lock). A lock
+        whose holder is dead (or older than LOCK_TTL_SEC) is broken."""
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(state, f)
-        os.replace(tmp, self.path)
+        lock_path = f"{self.path}.lock"
+        lock_fd = None
+        for attempt in range(2):
+            try:
+                lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(lock_fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+                break
+            except FileExistsError:
+                if attempt == 0 and self._break_stale_lock(lock_path):
+                    continue
+                raise RuntimeError(
+                    f"planner state lock held by another planner ({lock_path})"
+                )
+        try:
+            cur = self.load()
+            if cur["_version"] != expected_version:
+                raise RuntimeError(
+                    f"optimistic lock failure: state version {cur['_version']} != "
+                    f"expected {expected_version} (concurrent planner run)"
+                )
+            state = dict(state)
+            state["_version"] = expected_version + 1
+            tmp = f"{self.path}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(state, f)
+            os.replace(tmp, self.path)
+        finally:
+            if lock_fd is not None:
+                os.close(lock_fd)
+                try:
+                    os.unlink(lock_path)
+                except FileNotFoundError:
+                    pass
+
+    def _break_stale_lock(self, lock_path: str) -> bool:
+        pid, ts = -1, None
+        try:
+            with open(lock_path) as f:
+                info = json.load(f)
+            pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
+        except (OSError, ValueError):
+            try:
+                ts = os.path.getmtime(lock_path)
+            except OSError:
+                return True
+        dead = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+            except ProcessLookupError:
+                dead = True
+            except PermissionError:
+                pass
+        if dead or (ts is not None and time.time() - ts > self.LOCK_TTL_SEC):
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
+            return True
+        return False
 
 
 def plan(

@@ -29,6 +29,10 @@ REF_REGEX = re.compile(r"ref\(\s*'([^']+)'\s*\)")
 
 ALLOWED_TYPES = {"string", "bigint", "int", "double", "boolean", "decimal(38,9)"}
 
+#: JSON-payload field paths are single-level '$.key' (both decode paths
+#: — JVM from_json and the pandas UDF — honor exactly this grammar)
+PATH_REGEX = re.compile(r"^\$\.[A-Za-z_][A-Za-z0-9_]*$")
+
 
 @dataclass(frozen=True)
 class FieldSpec:
@@ -105,7 +109,12 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
         if f["type"] not in ALLOWED_TYPES:
             raise SpecValidationError(f"unknown type {f['type']} for field {f['name']}")
         seen.add(f["name"])
-        fields.append(FieldSpec(f["name"], f.get("path", f"$.{f['name']}"), f["type"]))
+        path = f.get("path", f"$.{f['name']}")
+        if not PATH_REGEX.match(path):
+            raise SpecValidationError(
+                f"field {f['name']}: path {path!r} must match '$.key' (single level)"
+            )
+        fields.append(FieldSpec(f["name"], path, f["type"]))
     for key in ("dataset_name", "table_name"):
         if not t.get(key):
             raise SpecValidationError(f"table.{key} is required")

@@ -145,7 +145,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation_name,
            o.o_orderkey AS orderkey,
-           CAST(o.o_totalprice AS DECIMAL(38,6)) AS total_price,
+           CAST(CAST(o.o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS total_price,
            CAST(o.o_orderdate AS DATE) AS order_date
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -168,7 +168,7 @@ def enrich_three_way_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("cust_name"),
             F.col("n_name").alias("nation_name"),
             F.col("o_orderkey").alias("orderkey"),
-            F.col("o_totalprice").cast("decimal(38,6)").alias("total_price"),
+            F.col("o_totalprice").cast("decimal(38,6)").cast("double").alias("total_price"),
             F.col("o_orderdate").cast("date").alias("order_date"),
         )
     )
@@ -252,7 +252,7 @@ def full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi_join_in_subquery",
     oracle="""
     SELECT o_orderkey AS orderkey, o_custkey AS custkey,
-           CAST(o_totalprice AS DECIMAL(38,6)) AS total_price
+           CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS total_price
     FROM orders
     WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
     """,
@@ -265,7 +265,7 @@ def semi_join_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.join(c, o.o_custkey == c.c_custkey, "left_semi").select(
         F.col("o_orderkey").alias("orderkey"),
         F.col("o_custkey").alias("custkey"),
-        F.col("o_totalprice").cast("decimal(38,6)").alias("total_price"),
+        F.col("o_totalprice").cast("decimal(38,6)").cast("double").alias("total_price"),
     )
 
 
@@ -412,7 +412,7 @@ def dedup_first_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "adjacent_event_lag",
     oracle="""
     SELECT event_id, user_id,
-           CAST(value AS DECIMAL(38,6)) AS value_dec,
+           CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS value_dec,
            CAST(LAG(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS prev_value
     FROM events
     """,
@@ -426,7 +426,7 @@ def adjacent_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        vdec.alias("value_dec"),
+        vdec.cast("double").alias("value_dec"),
         F.lag(vdec).over(w).cast("double").alias("prev_value"),
     )
 
@@ -442,7 +442,7 @@ def adjacent_event_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cdc_lww_fold",
     oracle="""
     SELECT user_id AS doc_id, event_id AS seq,
-           event_type AS op, CAST(value AS DECIMAL(38,6)) AS payload
+           event_type AS op, CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS payload
     FROM (
         SELECT user_id, event_id, event_type, value,
                ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
@@ -462,7 +462,7 @@ def cdc_lww_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").alias("doc_id"),
             F.col("event_id").alias("seq"),
             F.col("event_type").alias("op"),
-            F.col("value").cast("decimal(38,6)").alias("payload"),
+            F.col("value").cast("decimal(38,6)").cast("double").alias("payload"),
         )
     )
 

@@ -146,6 +146,62 @@ class SnapshotTable:
     def last_epoch(self, app_id: str) -> int:
         return int(self.snapshot()["properties"].get(f"last_epoch:{app_id}", -1))
 
+    #: a lock older than this with a dead (or unknown) holder is broken
+    LOCK_TTL_SEC = 300.0
+
+    def _acquire_lock(self, lock_path: str) -> int:
+        """O_CREAT|O_EXCL lock stamped with the holder's pid+timestamp.
+        A writer killed between lock creation and the finally-unlink
+        would otherwise wedge the table forever; here a contender breaks
+        the lock when its holder process is dead, or when the lock is
+        older than LOCK_TTL_SEC and the holder is unverifiable (another
+        host). Live-holder contention still raises CommitConflictError
+        (OCC retry semantics, matching an Iceberg CAS commit loser)."""
+        for attempt in range(2):
+            try:
+                fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(
+                    fd,
+                    json.dumps({"pid": os.getpid(), "ts": time.time()}).encode(),
+                )
+                return fd
+            except FileExistsError as e:
+                if attempt == 0 and self._break_stale_lock(lock_path):
+                    continue
+                raise CommitConflictError(
+                    f"commit lock held by another writer ({lock_path})"
+                ) from e
+        raise CommitConflictError(f"commit lock held by another writer ({lock_path})")
+
+    def _break_stale_lock(self, lock_path: str) -> bool:
+        """Return True if the lock was stale and has been removed."""
+        pid, ts = -1, None
+        try:
+            with open(lock_path) as f:
+                info = json.load(f)
+            pid, ts = int(info.get("pid", -1)), float(info.get("ts", 0.0))
+        except (OSError, ValueError):
+            try:
+                ts = os.path.getmtime(lock_path)
+            except OSError:
+                return True  # holder released it while we looked
+        holder_dead = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)  # signal 0: existence probe only
+            except ProcessLookupError:
+                holder_dead = True
+            except PermissionError:
+                pass  # exists, owned by someone else
+        expired = ts is not None and (time.time() - ts) > self.LOCK_TTL_SEC
+        if holder_dead or expired:
+            try:
+                os.unlink(lock_path)
+            except FileNotFoundError:
+                pass
+            return True
+        return False
+
     def _publish(self, snap: dict) -> None:
         """Manifest write + atomic pointer swap (the WRITE_TRUNCATE copy
         publish of build_load_dag.py:174-182, made atomic via rename),
@@ -157,12 +213,7 @@ class SnapshotTable:
         os.makedirs(self._meta, exist_ok=True)
         v = snap["version"]
         lock_path = os.path.join(self._meta, LOCK_FILE)
-        try:
-            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError as e:
-            raise CommitConflictError(
-                f"commit lock held by another writer ({lock_path})"
-            ) from e
+        lock_fd = self._acquire_lock(lock_path)
         try:
             if self.current_version() != snap["parent_version"]:
                 raise CommitConflictError(

@@ -28,6 +28,7 @@ Checks implemented (reference file -> function):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from datetime import timezone
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -96,6 +97,10 @@ def freshness(ts_col: str, max_lag_seconds: int, now=None) -> Check:
         latest = v[0]
         if latest is None:
             return False, "no rows"
+        # Spark collects naive datetimes from a UTC-pinned session; pin
+        # UTC before epoch conversion or non-UTC hosts skew the lag.
+        if getattr(latest, "tzinfo", None) is None:
+            latest = latest.replace(tzinfo=timezone.utc)
         lag = now_fn() - latest.timestamp()
         return lag <= max_lag_seconds, f"lag={lag:.0f}s max={max_lag_seconds}s"
 
