@@ -70,8 +70,13 @@ def compile_spec(
     spec when contract_address is a ``ref('X')`` expression (the
     dynamic contract-set case, parse_logs.sql:18-25 — compiled to a
     left-semi join; Catalyst would build the same plan from an IN
-    subquery, §2.2 P7)."""
+    subquery, §2.2 P7).
+
+    Hex-encoded specs (``parser.encoding == 'hex'``) route to
+    :func:`compile_spec_hex` — ABI data+topics decode."""
     p = spec.parser
+    if p.encoding == "hex":
+        return compile_spec_hex(spec, source, resolve_ref, error_column)
 
     # P5: selector predicate (topics[SAFE_OFFSET(0)] = selector)
     out = source.where(F.col("event_type") == p.selector)
@@ -137,6 +142,91 @@ def compile_spec(
     if error_column:
         cols.append(err.alias("error"))
     return out.select(*cols)
+
+
+def compile_spec_hex(
+    spec: ExtractionSpec,
+    source: DataFrame,
+    resolve_ref=None,
+    error_column: bool = False,
+) -> DataFrame:
+    """Compile a hex-encoded (ABI) spec: the real decode path of the
+    reference's parse stage (parse_logs_udf.sql:1-47 JS UDF semantics:
+    null-on-failure, lowercased addresses, recursive tuple decode,
+    indexed-dynamic params as their keccak hash; struct typegen
+    parse_table_definition_logic.py:389-406 incl. nested RECORD/REPEATED).
+
+    Source shape: META_COLUMNS + ``data`` (hex string) + ``topics``
+    (array<string>, topics[0] = selector). Plan:
+
+        scan -> selector filter (JVM, pushed to the parquet scan)
+             -> contract filter (literal isin / ref semi-join)
+             -> Arrow-batched vectorized ABI decode (mapInPandas —
+                numpy gathers, no per-row Python in the word math)
+             -> failure rejection (log) or error column (trace)
+    """
+    from ethereum_etl_airflow_spark.plans.abi import parse_abi_type, spark_type
+
+    p = spec.parser
+
+    # selector: events match topic0; calls match the 4-byte data prefix
+    # (parse_logs.sql:31 / parse_traces.sql selector filters)
+    if p.type == "log":
+        out = source.where(F.element_at(F.col("topics"), 1) == p.selector)
+    else:
+        # call input = 4-byte selector + ABI-encoded args: filter on the
+        # prefix, then strip it so the decoder sees only the args tuple
+        out = source.where(F.col("data").startswith(p.selector)).withColumn(
+            "data", F.substring(F.col("data"), len(p.selector) + 1, 1 << 30)
+        )
+
+    if p.contract_address:
+        m = REF_REGEX.search(p.contract_address)
+        if m:
+            if resolve_ref is None:
+                raise ValueError(f"spec {spec.name} needs resolve_ref for {m.group(1)}")
+            addrs = resolve_ref(m.group(1)).select(F.col("user_id").alias("__addr"))
+            out = out.join(addrs, out["user_id"] == addrs["__addr"], "left_semi")
+        else:
+            lits = [v.strip() for v in p.contract_address.split(",")]
+            out = out.where(F.col("user_id").cast("string").isin(lits))
+
+    field_triples = [(f.name, f.abi_type, f.indexed) for f in p.fields]
+    decoded_types = {
+        f.name: spark_type(parse_abi_type(f.abi_type)) for f in p.fields
+    }
+    meta_fields = [T.StructField(c, out.schema[c].dataType) for c in META_COLUMNS]
+    schema = T.StructType(
+        meta_fields
+        + [T.StructField(n, decoded_types[n], True) for n, _t, _i in field_triples]
+        + ([T.StructField("error", T.StringType(), True)] if error_column else [])
+    )
+    meta_cols = list(META_COLUMNS)
+    keep_failed = error_column
+
+    def run(batches):
+        import pandas as pd
+
+        from ethereum_etl_airflow_spark.plans.abi import decode_batch, parse_abi_type
+
+        fields = [(n, parse_abi_type(a), ix) for n, a, ix in field_triples]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            decoded, fail = decode_batch(
+                pdf["data"].tolist(), pdf["topics"].tolist(), fields
+            )
+            cols = {c: pdf[c].values for c in meta_cols}
+            for n, _t, _i in field_triples:
+                cols[n] = decoded.get(n)
+            res = pd.DataFrame(cols)
+            if keep_failed:
+                res["error"] = ["decode failure" if f else None for f in fail]
+            else:
+                res = res[~fail]
+            yield res
+
+    return out.mapInPandas(run, schema)
 
 
 def compile_spec_pandas(spec: ExtractionSpec, source: DataFrame) -> DataFrame:

@@ -38,7 +38,9 @@ PATH_REGEX = re.compile(r"^\$\.[A-Za-z_][A-Za-z0-9_]*$")
 class FieldSpec:
     name: str
     path: str  # JSON path into the payload ('$.x'), the ABI-slot analogue
-    type: str  # Spark SQL type name
+    type: str  # Spark SQL type name (json encoding) or '' (hex encoding)
+    abi_type: str | None = None  # hex encoding: ABI type string, e.g. 'uint256'
+    indexed: bool = False  # hex encoding: param rides topics, not data
 
 
 @dataclass(frozen=True)
@@ -47,6 +49,7 @@ class ParserSpec:
     selector: str  # topic0 / 4-byte selector analogue
     contract_address: str | None  # literal | ref('other') | None
     fields: tuple[FieldSpec, ...]
+    encoding: str = "json"  # 'json' (stand-in payloads) | 'hex' (ABI data+topics)
 
 
 @dataclass(frozen=True)
@@ -99,16 +102,49 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
     p, t = d["parser"], d["table"]
     if p.get("type") not in ("log", "trace"):
         raise SpecValidationError(f"parser.type must be log|trace, got {p.get('type')}")
-    if not p.get("selector"):
+    encoding = p.get("encoding", "json")
+    if encoding not in ("json", "hex"):
+        raise SpecValidationError(f"parser.encoding must be json|hex, got {encoding}")
+    selector = p.get("selector")
+    if not selector and encoding == "hex" and p.get("abi"):
+        # derive selector from the ABI item (ref generate_parse_sql.py:16-25:
+        # keccak of the canonical signature — topic0 for events, 4-byte
+        # prefix for calls; parse_table_definition_logic.py:116,190)
+        from ethereum_etl_airflow_spark.functions.keccak import (
+            event_selector,
+            function_selector,
+        )
+
+        derive = event_selector if p["type"] == "log" else function_selector
+        selector = derive(p["abi"])
+    if not selector:
         raise SpecValidationError("parser.selector is required")
     fields = []
     seen: set[str] = set()
     for f in p.get("fields", []):
         if f["name"] in seen:
             raise SpecValidationError(f"duplicate field {f['name']}")
+        seen.add(f["name"])
+        if encoding == "hex":
+            if not f.get("abi_type"):
+                raise SpecValidationError(
+                    f"field {f['name']}: hex specs require abi_type"
+                )
+            from ethereum_etl_airflow_spark.plans.abi import AbiTypeError, parse_abi_type
+
+            try:
+                parse_abi_type(f["abi_type"])
+            except AbiTypeError as e:
+                raise SpecValidationError(f"field {f['name']}: {e}") from e
+            fields.append(
+                FieldSpec(
+                    f["name"], "", "", abi_type=f["abi_type"],
+                    indexed=bool(f.get("indexed", False)),
+                )
+            )
+            continue
         if f["type"] not in ALLOWED_TYPES:
             raise SpecValidationError(f"unknown type {f['type']} for field {f['name']}")
-        seen.add(f["name"])
         path = f.get("path", f"$.{f['name']}")
         if not PATH_REGEX.match(path):
             raise SpecValidationError(
@@ -125,9 +161,10 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
     return ExtractionSpec(
         parser=ParserSpec(
             type=p["type"],
-            selector=p["selector"],
+            selector=selector,
             contract_address=p.get("contract_address"),
             fields=tuple(fields),
+            encoding=encoding,
         ),
         table=TableSpec(dataset_name=t["dataset_name"], table_name=t["table_name"]),
         raw=json.dumps(d, sort_keys=True),

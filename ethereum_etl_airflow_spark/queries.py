@@ -903,6 +903,165 @@ def parse_spec_pandas_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_spec_pandas(parse_spec(_PURCHASE_SPEC), _t(spark, sf_dir, "events"))
 
 
+# ---------------------------------------------------------------------------
+# F1 (real form): ABI hex decode — data+topics built deterministically from
+# events columns, decoded through the vectorized ABI kernel, oracle computes
+# the expected output directly (encode→decode must be the identity).
+# ref parse_logs_udf.sql:1-47 (null-on-failure, lowercased addresses,
+# indexed params from topics); selector derived via keccak from the ABI
+# item (generate_parse_sql.py:16-25) — the REAL ERC-20 Transfer topic0.
+# ---------------------------------------------------------------------------
+
+
+def _hex_word(col):
+    """64-hex-char ABI word of a non-negative bigint column (JVM-side)."""
+    return F.lpad(F.lower(F.conv(col.cast("string"), 10, 16)), 64, "0")
+
+
+def _hex_addr(col):
+    """Deterministic 40-hex-char address from a key column — md5-derived
+    so DuckDB reproduces it exactly (portable-hash discipline)."""
+    h = F.md5(col.cast("string"))
+    return F.substring(F.concat(h, h), 1, 40)
+
+
+_TRANSFER_ABI = {
+    "type": "event",
+    "name": "Transfer",
+    "inputs": [{"type": "address"}, {"type": "address"}, {"type": "uint256"}],
+}
+
+
+@register(
+    "parse_spec_hex_decode",
+    oracle="""
+    SELECT event_id,
+           '0x' || substr(md5(CAST(user_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR)), 1, 40) AS from_addr,
+           '0x' || substr(md5(CAST(user_id + 1 AS VARCHAR)) || md5(CAST(user_id + 1 AS VARCHAR)), 1, 40) AS to_addr,
+           CAST(event_id AS VARCHAR) AS amount
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+    doc="ABI hex decode: keccak-derived selector, indexed addresses from "
+    "topics, uint256 from data; corrupt payloads dropped (null-on-failure)",
+    survey_ref="parse_logs_udf.sql:1-47 (F1); generate_parse_sql.py:16-25 selector",
+)
+def parse_spec_hex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    spec = parse_spec(
+        {
+            "parser": {
+                "type": "log",
+                "encoding": "hex",
+                "abi": _TRANSFER_ABI,  # selector derived: real Transfer topic0
+                "contract_address": None,
+                "fields": [
+                    {"name": "from_addr", "abi_type": "address", "indexed": True},
+                    {"name": "to_addr", "abi_type": "address", "indexed": True},
+                    {"name": "amount", "abi_type": "uint256"},
+                ],
+            },
+            "table": {"dataset_name": "hexdemo", "table_name": "transfers"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events")
+    sel = F.lit(spec.parser.selector)
+    addr_word = lambda c: F.lpad(_hex_addr(c), 64, "0")  # noqa: E731
+    encoded = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        # corrupt the payload for 'error' rows: decode must null+drop them
+        F.when(F.col("event_type") == "error", F.lit("zz"))
+        .otherwise(_hex_word(F.col("event_id")))
+        .alias("data"),
+        F.array(sel, addr_word(F.col("user_id")), addr_word(F.col("user_id") + 1)).alias(
+            "topics"
+        ),
+    )
+    return compile_spec(spec, encoded).select("event_id", "from_addr", "to_addr", "amount")
+
+
+@register(
+    "parse_spec_nested_tuple",
+    oracle="""
+    SELECT event_id,
+           event_id AS a,
+           '0x' || substr(md5(CAST(user_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR)), 1, 40) AS owner,
+           (event_id % 2 = 1) AS active,
+           CAST(1 + event_id % 3 AS INT) AS arr_n,
+           CASE CAST(event_id % 3 AS INT)
+             WHEN 0 THEN CAST(event_id AS VARCHAR)
+             WHEN 1 THEN CAST(event_id AS VARCHAR) || ',' || CAST(event_id + 1 AS VARCHAR)
+             ELSE CAST(event_id AS VARCHAR) || ',' || CAST(event_id + 1 AS VARCHAR) || ',' || CAST(event_id + 2 AS VARCHAR)
+           END AS arr_csv
+    FROM events
+    """,
+    doc="ABI decode of nested types: struct (tuple recursion) + dynamic "
+    "array with per-row varying length; struct/array columns decoded then "
+    "projected flat for the oracle compare",
+    survey_ref="parse_logs_udf.sql:32-35 tuple recursion; "
+    "parse_table_definition_logic.py:389-406 RECORD/REPEATED typegen",
+)
+def parse_spec_nested_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    spec = parse_spec(
+        {
+            "parser": {
+                "type": "log",
+                "encoding": "hex",
+                "selector": "0x01",
+                "contract_address": None,
+                "fields": [
+                    {"name": "a", "abi_type": "uint32"},
+                    {"name": "info", "abi_type": "(address owner, bool active)"},
+                    {"name": "arr", "abi_type": "uint32[]"},
+                ],
+            },
+            "table": {"dataset_name": "hexdemo", "table_name": "nested"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events")
+    ln = (F.col("event_id") % 3 + 1).cast("int")
+    # ABI layout — head: a | info.owner | info.active | offset(arr)=0x80;
+    # tail: len | elem... (per-row varying length exercises the decoder's
+    # length-group vectorization)
+    arr_words = F.concat(
+        *[
+            F.when(F.lit(i) < ln, _hex_word(F.col("event_id") + i)).otherwise(F.lit(""))
+            for i in range(3)
+        ]
+    )
+    data = F.concat(
+        _hex_word(F.col("event_id")),
+        F.lpad(_hex_addr(F.col("user_id")), 64, "0"),
+        _hex_word((F.col("event_id") % 2).cast("long")),
+        _hex_word(F.lit(4 * 32)),
+        _hex_word(ln.cast("long")),
+        arr_words,
+    )
+    encoded = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        data.alias("data"),
+        F.array(F.lit("0x01")).alias("topics"),
+    )
+    decoded = compile_spec(spec, encoded)
+    return decoded.select(
+        "event_id",
+        "a",
+        F.col("info.owner").alias("owner"),
+        F.col("info.active").alias("active"),
+        F.size("arr").alias("arr_n"),
+        F.array_join(F.transform("arr", lambda x: x.cast("string")), ",").alias("arr_csv"),
+    )
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401

