@@ -90,6 +90,34 @@ class SpecValidationError(ValueError):
     pass
 
 
+@dataclass(frozen=True)
+class SqlViewSpec:
+    """SQL-type table definition: a raw-SQL view over other specs'
+    outputs, referenced via ``ref('X')`` (reference:
+    ``parse_dataset_folder_logic.py:108-121`` SQL filetype branch +
+    ``replace_refs``; 19 such .sql views under table_definitions/).
+
+    Planner-compatible by duck typing: exposes the same ``refs`` /
+    ``content_hash`` / ``name`` surface as :class:`ExtractionSpec`, so
+    mixed JSON+SQL spec DAGs toposort and hash-diff uniformly."""
+
+    dataset_name: str
+    table_name: str
+    sql: str
+
+    @property
+    def name(self) -> str:
+        return f"{self.dataset_name}.{self.table_name}"
+
+    @property
+    def refs(self) -> tuple[str, ...]:
+        return tuple(REF_REGEX.findall(self.sql))
+
+    @property
+    def content_hash(self) -> str:
+        return hashlib.sha256(self.sql.encode()).hexdigest()
+
+
 def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionSpec:
     """Load + validate one spec (mirror of test_validate_json.py checks:
     required keys, known types, table_name matches file name)."""

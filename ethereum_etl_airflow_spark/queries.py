@@ -1062,6 +1062,109 @@ def parse_spec_nested_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Parse-dataset lifecycle end-to-end: planner plan -> executor run
+# (full refresh / incremental MERGE / fencing) -> stitched serving read,
+# and a SQL-type view definition over a materialized spec output.
+# ref parse_dataset_folder_logic.py:21-136 lifecycle (U2 stitch; M1/M2).
+# ---------------------------------------------------------------------------
+
+
+def _run_parse_dataset(spark: SparkSession, sf_dir: str, specs):
+    """Run a two-phase executor lifecycle in a temp root: first run
+    materializes history up to mid-feed, the second advances
+    incrementally to 90% — so the stitched read genuinely unions
+    history with live rows beyond the last materialized position."""
+    import tempfile
+
+    from ethereum_etl_airflow_spark.plans.executor import ParseDatasetExecutor
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    ex = ParseDatasetExecutor(spark, tempfile.mkdtemp(prefix="parse_ds_"), specs)
+    ex.run(ev, upto_pos=int(hi) // 2)
+    ex.run(ev, upto_pos=int(hi) * 9 // 10)
+    return ex, ev
+
+
+_STITCH_SPEC = {
+    "parser": {
+        "type": "log",
+        "selector": "signup",
+        "contract_address": None,
+        "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+    },
+    "table": {"dataset_name": "demo", "table_name": "signups"},
+}
+
+
+@register(
+    "parse_dataset_stitch",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type = 'signup'
+    """,
+    doc="executor lifecycle (full refresh -> incremental MERGE) then the "
+    "stitched serving read: history <= last_pos UNION live > last_pos — "
+    "equivalent to parsing the whole feed directly",
+    survey_ref="parse_dataset_folder_logic.py:21-136; "
+    "parse_table_definition_logic.py:148-281 (U2, M1, M2)",
+)
+def parse_dataset_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    specs = {"demo.signups": parse_spec(_STITCH_SPEC)}
+    ex, ev = _run_parse_dataset(spark, sf_dir, specs)
+    return ex.stitch("demo.signups", ev)
+
+
+@register(
+    "parse_dataset_sql_view",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+    doc="SQL-type table definition: raw-SQL view with ref() substitution "
+    "over a materialized spec output",
+    survey_ref="parse_dataset_folder_logic.py:108-121 SQL filetype; "
+    "parse_table_definition_logic.py replace_refs",
+)
+def parse_dataset_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.spec import SqlViewSpec, parse_spec
+
+    specs = {
+        "demo.purchases": parse_spec(
+            {
+                "parser": {
+                    "type": "log",
+                    "selector": "purchase",
+                    "contract_address": None,
+                    "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+                },
+                "table": {"dataset_name": "demo", "table_name": "purchases"},
+            }
+        ),
+        "demo.purchase_counts": SqlViewSpec(
+            "demo",
+            "purchase_counts",
+            "SELECT user_id, COUNT(*) AS n FROM ref('demo.purchases') GROUP BY user_id",
+        ),
+    }
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    import tempfile
+
+    from ethereum_etl_airflow_spark.plans.executor import ParseDatasetExecutor
+
+    ex = ParseDatasetExecutor(spark, tempfile.mkdtemp(prefix="parse_ds_"), specs)
+    ex.run(ev, upto_pos=int(hi))
+    return spark.table("demo__purchase_counts")
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
