@@ -47,6 +47,12 @@ def _plane_sign(p: int, i: int) -> int:
 
 
 PLANES = [[_plane_sign(p, i) for i in range(DIM)] for p in range(N_PLANES)]
+def _planes_sql() -> str:
+    rows = ", ".join("[" + ", ".join(str(s) for s in plane) + "]" for plane in PLANES)
+    return f"[{rows}]"
+
+
+
 
 
 def int_vec(emb=None):
@@ -73,6 +79,47 @@ def _dot_sql(a: str, b: str) -> str:
     return f"list_sum(list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i]))::BIGINT"
 
 
+#: exact all-pairs block decomposition: each unordered block pair is one
+#: cogroup task. At 10^9 vectors set ~N/50k so a block's matrix fits an
+#: executor; here 8 keeps every core busy at test scale.
+N_BLOCKS = 8
+
+_PAIR_SCHEMA = "vec_a long, vec_b long, dot_scaled long, norm_a long, norm_b long"
+
+
+def _pair_kernel_rows(a_ids, a_mat, b_ids, b_mat, require_lt: bool):
+    """Exact-int cosine pair kernel shared by the block-matmul and the
+    LSH-banded variants: one int64 ``numpy.matmul`` per task (exact —
+    values bounded well under 2^63), float64 prefilter with a 1e-9
+    margin, survivors re-checked in arbitrary-precision Python ints
+    (10^4 dot^2 >= tau_sq |a|^2 |b|^2) so no float comparison decides a
+    boundary case."""
+    import numpy as np
+
+    tau_sq = COS_THRESHOLD_SQ_X10000
+    a_norms = (a_mat * a_mat).sum(axis=1)
+    b_norms = (b_mat * b_mat).sum(axis=1)
+    dots = a_mat @ b_mat.T
+    lhs = (dots.astype(np.float64) ** 2) * 10000.0
+    rhs = tau_sq * a_norms[:, None].astype(np.float64) * b_norms[None, :].astype(np.float64)
+    cand = (dots > 0) & (lhs >= rhs * (1.0 - 1e-9))
+    if require_lt:
+        cand &= a_ids[:, None] < b_ids[None, :]
+    else:
+        cand &= a_ids[:, None] != b_ids[None, :]
+    out = []
+    for i, j in zip(*np.nonzero(cand)):
+        d, na, nb = int(dots[i, j]), int(a_norms[i]), int(b_norms[j])
+        if 10000 * d * d < tau_sq * na * nb:
+            continue  # float prefilter overshoot — exact check rejects
+        u, v = int(a_ids[i]), int(b_ids[j])
+        if u < v:
+            out.append((u, v, d, na, nb))
+        else:
+            out.append((v, u, d, nb, na))
+    return out
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -92,71 +139,185 @@ def _dot_sql(a: str, b: str) -> str:
       AND dot_scaled::HUGEINT * dot_scaled * 10000
           >= {COS_THRESHOLD_SQ_X10000}::HUGEINT * norm_a * norm_b
     """,
-    doc="embedding cosine near-dup pairs (exact scaled-int arithmetic)",
+    doc="embedding cosine near-dup pairs (exact scaled-int arithmetic, "
+    "distributed block matmul — no driver collect)",
     survey_ref="training-pipeline ops (embedding-cosine near-dup)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine >= 0.45 near-dup detection as a broadcast block
-    matmul: the (small) scaled-int matrix ships to every task inside
-    the mapInPandas closure; each Arrow batch of rows multiplies
-    against the whole matrix with one int64 ``numpy.matmul`` (exact —
-    values bounded well under 2^63). That replaces a 12.5M-row
-    self-join + interpreted higher-order-function dot products with a
-    single narrow pass (~10x faster at sf0.1).
+    """EXACT all-pairs cosine >= 0.45 near-dup detection, fully
+    distributed: vectors hash into B blocks, every unordered block pair
+    (bi <= bj) is one cogrouped ``applyInPandas`` task running the
+    exact int64 matmul kernel. No ``collect()``, no broadcast of the
+    table — shuffle volume is B copies of each vector, compute is the
+    inherent O(N^2/2) spread over B(B+1)/2 independent tasks.
 
-    The threshold test stays EXACT: a float64 prefilter with a 1e-9
-    relative margin, then the survivors re-checked in arbitrary-
-    precision Python ints (10^4 dot^2 >= 2025 |a|^2 |b|^2) — no float
-    comparison decides a boundary case.
+    Each unordered pair {{u,v}} lands in exactly one task (the sorted
+    pair of the two blocks), so no post-dedup pass is needed; diagonal
+    tasks enforce vec_a < vec_b in-kernel.
 
-    Scale path: at 10^9 vectors the broadcast side becomes the LSH
-    bucket's members (ann_lsh_bucketed) — same kernel per bucket."""
-    import numpy as np
-
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", int_vec().alias("iv"))
-    rows = e.collect()  # small dim table; at scale: per-LSH-bucket collect_list
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.iv for r in rows], dtype=np.int64)
-    norms = (mat * mat).sum(axis=1)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
-    tau_sq = COS_THRESHOLD_SQ_X10000
-
-    out_schema = (
-        "vec_a long, vec_b long, dot_scaled long, norm_a long, norm_b long"
+    Scale path: the same kernel runs per LSH band in
+    ``dedup_embedding_cosine_lsh`` — candidate semantics instead of
+    all-pairs when N^2 itself is the bottleneck."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        int_vec().alias("iv"),
+        F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int").alias("blk"),
+    )
+    combos = [
+        (bi * N_BLOCKS + bj, bi, bj)
+        for bi in range(N_BLOCKS)
+        for bj in range(bi, N_BLOCKS)
+    ]
+    combos_df = spark.createDataFrame(combos, "gid int, bi int, bj int")
+    left = (
+        e.alias("l")
+        .join(combos_df.alias("cl"), F.col("l.blk") == F.col("cl.bi"))
+        .select(
+            F.col("cl.gid").alias("gid"), F.col("cl.bi").alias("bi"),
+            F.col("cl.bj").alias("bj"), F.col("l.vec_id").alias("vec_id"),
+            F.col("l.iv").alias("iv"),
+        )
+    )
+    right = (
+        e.alias("r")
+        .join(combos_df.alias("cr"), F.col("r.blk") == F.col("cr.bj"))
+        .select(
+            F.col("cr.gid").alias("gid"), F.col("r.vec_id").alias("vec_id"),
+            F.col("r.iv").alias("iv"),
+        )
     )
 
-    def run(batches):
+    def run(key, lpdf, rpdf):
         import numpy as np
         import pandas as pd
 
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_mat = np.array(list(pdf["iv"]), dtype=np.int64)
-            if len(q_mat) == 0:
-                continue
-            dots = q_mat @ all_mat.T  # exact int64
-            q_norms = (q_mat * q_mat).sum(axis=1)
-            # float prefilter with margin, then exact recheck
-            lhs = (dots.astype(np.float64) ** 2) * 10000.0
-            rhs = tau_sq * q_norms[:, None].astype(np.float64) * all_norms[None, :]
-            cand = (dots > 0) & (q_ids[:, None] < all_ids[None, :]) & (
-                lhs >= rhs * (1.0 - 1e-9)
-            )
-            qi, bi = np.nonzero(cand)
-            keep = [
-                (int(q_ids[i]), int(all_ids[j]), int(dots[i, j]), int(q_norms[i]), int(all_norms[j]))
-                for i, j in zip(qi, bi)
-                if 10000 * int(dots[i, j]) ** 2
-                >= tau_sq * int(q_norms[i]) * int(all_norms[j])
-            ]
-            yield pd.DataFrame(
-                keep, columns=["vec_a", "vec_b", "dot_scaled", "norm_a", "norm_b"]
-            )
+        cols = ["vec_a", "vec_b", "dot_scaled", "norm_a", "norm_b"]
+        if len(lpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        diagonal = bool(lpdf["bi"].iloc[0] == lpdf["bj"].iloc[0])
+        a_ids = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(lpdf["iv"]), dtype=np.int64)
+        b_ids = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        b_mat = np.array(list(rpdf["iv"]), dtype=np.int64)
+        rows = _pair_kernel_rows(a_ids, a_mat, b_ids, b_mat, require_lt=diagonal)
+        return pd.DataFrame(rows, columns=cols)
 
-    return e.mapInPandas(run, out_schema)
+    return (
+        left.groupBy("gid")
+        .cogroup(right.groupBy("gid"))
+        .applyInPandas(run, _PAIR_SCHEMA)
+    )
+
+
+#: banded hyperplane LSH for the candidate-generation variant: the 8
+#: planes split into 4 bands of 2 — a pair is a candidate iff it agrees
+#: on BOTH planes of at least one band (OR-amplification across bands)
+BAND_PLANES = 2
+N_BANDS = N_PLANES // BAND_PLANES
+
+
+def _band_key_sql(iv: str, b: int) -> str:
+    terms = []
+    for q in range(BAND_PLANES):
+        p = b * BAND_PLANES + q + 1  # 1-indexed plane
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {DIM}), i -> "
+            f"{iv}[i] * (({_planes_sql()})[{p}])[i]))::BIGINT"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << q} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def band_keys(iv) -> F.Column:
+    """Array of per-band LSH keys (sign bits of the band's planes)."""
+    keys = []
+    for b in range(N_BANDS):
+        key = F.lit(0)
+        for q in range(BAND_PLANES):
+            plane = PLANES[b * BAND_PLANES + q]
+            arr = F.array(*[F.lit(s) for s in plane])
+            proj = F.aggregate(
+                F.zip_with(iv, arr, lambda x, s: x * s),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            key = key + F.when(proj > 0, F.lit(1 << q)).otherwise(0)
+        keys.append(key.cast("int"))
+    return F.array(*keys)
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, {_IVEC_SQL} AS iv FROM embeddings
+    ), n AS (
+        SELECT vec_id, iv, {_NORM_SQL} AS nsq,
+               {_band_key_sql('iv', 0)} AS k0, {_band_key_sql('iv', 1)} AS k1,
+               {_band_key_sql('iv', 2)} AS k2, {_band_key_sql('iv', 3)} AS k3
+        FROM e
+    ), p AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_dot_sql('a.iv', 'b.iv')} AS dot_scaled,
+               a.nsq AS norm_a, b.nsq AS norm_b
+        FROM n a JOIN n b
+          ON a.vec_id < b.vec_id
+         AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+    )
+    SELECT vec_a, vec_b, dot_scaled, norm_a, norm_b
+    FROM p
+    WHERE dot_scaled > 0
+      AND dot_scaled::HUGEINT * dot_scaled * 10000
+          >= {COS_THRESHOLD_SQ_X10000}::HUGEINT * norm_a * norm_b
+    """,
+    doc="per-LSH-band bucketed cosine near-dup: banded hyperplane "
+    "candidates, exact-int verify inside each bucket",
+    survey_ref="training-pipeline ops (cosine near-dup, LSH scale path)",
+)
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^9-vector path: candidates are pairs sharing at least one
+    hyperplane band; each (band, key) bucket runs the exact int64
+    matmul kernel via ``groupBy().applyInPandas`` — work is
+    O(sum of bucket^2), not O(N^2), and the bucket key doubles as the
+    partition key so no task ever sees more than one bucket.
+
+    A pair colliding in several bands is emitted ONCE: the kernel has
+    both vectors' full band signatures and only emits from the FIRST
+    band where they agree — dedup without a distinct/shuffle pass.
+    The DuckDB oracle states the same candidate semantics relationally
+    (OR over band-key equalities), so the check is exact, including
+    LSH recall behavior."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", int_vec().alias("iv")
+    ).withColumn("sig", band_keys(F.col("iv")))
+    exploded = e.select(
+        "vec_id", "iv", "sig", F.posexplode("sig").alias("band", "key")
+    )
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["vec_a", "vec_b", "dot_scaled", "norm_a", "norm_b"]
+        if len(pdf) < 2:
+            return pd.DataFrame(columns=cols)
+        band = int(pdf["band"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["iv"]), dtype=np.int64)
+        sigs = np.array(list(pdf["sig"]), dtype=np.int64)
+        rows = _pair_kernel_rows(ids, mat, ids, mat, require_lt=True)
+        # first-collide-band dedup: emit only pairs whose FIRST agreeing
+        # band is this one (vectorized signature compare)
+        idx = {int(v): i for i, v in enumerate(ids)}
+        out = []
+        for u, v, d, na, nb in rows:
+            su, sv = sigs[idx[u]], sigs[idx[v]]
+            agree = np.nonzero(su == sv)[0]
+            if len(agree) and int(agree[0]) == band:
+                out.append((u, v, d, na, nb))
+        return pd.DataFrame(out, columns=cols)
+
+    return exploded.groupBy("band", "key").applyInPandas(run, _PAIR_SCHEMA)
 
 
 _COS_SQL = "(dot_scaled::DOUBLE / sqrt(norm_q::DOUBLE * norm_b::DOUBLE))"
@@ -217,11 +378,6 @@ def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank", "dot_scaled")
     )
-
-
-def _planes_sql() -> str:
-    rows = ", ".join("[" + ", ".join(str(s) for s in plane) + "]" for plane in PLANES)
-    return f"[{rows}]"
 
 
 def _bucket_sql(iv: str) -> str:
