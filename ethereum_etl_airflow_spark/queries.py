@@ -904,6 +904,52 @@ def parse_spec_pandas_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Nested RECORD REPEATED end-to-end: build an array-of-struct column
+# (blocks.withdrawals shape, ref raw/schemas/blocks.json), then the
+# ledger branch explodes it — the UNNEST(withdrawals) credit branch of
+# enrich/sqls/balances.sql:52-55. Construct+explode is the identity, so
+# the oracle states the expected output directly over the flat table.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "nested_withdrawals_ledger",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_w,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_credit,
+           MAX(event_id) AS last_wid
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="array-of-struct (RECORD REPEATED) built per key, then exploded "
+    "as a ledger credit branch: struct field access + decimal-exact sum",
+    survey_ref="enrich/sqls/balances.sql:52-55 UNNEST(withdrawals); "
+    "raw/schemas/blocks.json withdrawals RECORD REPEATED",
+)
+def nested_withdrawals_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = F.struct(
+        F.col("event_id").alias("wid"),
+        F.col("value").cast("decimal(38,6)").alias("amount"),
+    )
+    # per-user withdrawal list, deterministically ordered (struct sort
+    # keys on wid first — unique, so the order is total)
+    blocks = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(w)).alias("withdrawals")
+    )
+    x = blocks.select(
+        "user_id",
+        F.size("withdrawals").cast("long").alias("n_w"),
+        F.explode("withdrawals").alias("wd"),
+    )
+    return x.groupBy("user_id", "n_w").agg(
+        F.sum(F.col("wd.amount")).cast("double").alias("total_credit"),
+        F.max(F.col("wd.wid")).alias("last_wid"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F1 (real form): ABI hex decode — data+topics built deterministically from
 # events columns, decoded through the vectorized ABI kernel, oracle computes
 # the expected output directly (encode→decode must be the identity).

@@ -302,21 +302,51 @@ class SnapshotTable:
 
     # ----------------------------------------------------------------- write
 
+    #: widening chain the parquet vectorized reader can apply on scan:
+    #: int32 files read fine through long OR double schemas; int64 files
+    #: can NOT be read through a double schema (reader limitation), so
+    #: long->double is rejected loudly instead of corrupting reads.
+    _WIDEN_RANK = {T.IntegerType: 0, T.LongType: 1, T.DoubleType: 1}
+
     @staticmethod
     def _evolve_schema(old: T.StructType | None, batch: T.StructType) -> T.StructType:
-        """Union of old and batch schemas: new columns appended nullable,
-        IntegerType widened to LongType when either side is long
-        (reference: adjust_schema_for_kovan widening, build_load_dag.py:364-371;
-        ignore_unknown_values tolerance, :105)."""
+        """Union of old and batch schemas — the per-network relaxation
+        variants of the reference (adjust_schema_for_kovan,
+        build_load_dag.py:351-376: INT->FLOAT64 widening + REQUIRED->
+        NULLABLE; ignore_unknown_values tolerance, :105):
+
+        * new columns appended nullable;
+        * IntegerType widens to LongType or DoubleType when the batch
+          is wider (old int32 files scan natively through either);
+        * a field nullable on EITHER side becomes nullable (required->
+          nullable relaxation — a relaxation can never be reverted);
+        * LongType->DoubleType is refused with a clear error: the
+          parquet reader cannot upcast int64 pages to double, so
+          allowing it would break every subsequent scan."""
         if old is None:
             return batch
+        rank = SnapshotTable._WIDEN_RANK
         fields: dict[str, T.StructField] = {f.name: f for f in old.fields}
         for bf in batch.fields:
             of = fields.get(bf.name)
             if of is None:
                 fields[bf.name] = T.StructField(bf.name, bf.dataType, True)
-            elif isinstance(of.dataType, T.IntegerType) and isinstance(bf.dataType, T.LongType):
-                fields[bf.name] = T.StructField(bf.name, T.LongType(), True)
+                continue
+            dt = of.dataType
+            o_t, b_t = type(of.dataType), type(bf.dataType)
+            if o_t is not b_t and o_t in rank and b_t in rank:
+                if isinstance(of.dataType, T.LongType) and isinstance(bf.dataType, T.DoubleType):
+                    raise ValueError(
+                        f"column {bf.name}: long->double widening is not "
+                        "scan-compatible (parquet reader cannot upcast int64); "
+                        "declare the column double from the first commit or add "
+                        "a new double column"
+                    )
+                if rank[b_t] > rank[o_t]:
+                    dt = bf.dataType
+            nullable = of.nullable or bf.nullable
+            if dt is not of.dataType or nullable != of.nullable:
+                fields[bf.name] = T.StructField(bf.name, dt, nullable)
         return T.StructType(list(fields.values()))
 
     def commit(
