@@ -102,11 +102,21 @@ class SnapshotTable:
         root: str,
         num_buckets: int = NUM_BUCKETS,
         compact_files: int = 8,
+        bloom_bits: int = 0,
     ):
+        """``bloom_bits`` > 0 (a multiple of 64, e.g. 4096) maintains a
+        per-bucket Bloom filter in the manifest (3 xxhash64 probes per
+        key): negative point lookups then skip whole buckets without
+        touching a data file (the Iceberg puffin-blob / DataFile
+        bloom analogue). Costs one extra O(batch) aggregation per
+        commit — enable for tables serving point lookups."""
         self.spark = spark
         self.root = root
         self.num_buckets = num_buckets
         self.compact_files = compact_files
+        self.bloom_bits = bloom_bits
+        if bloom_bits % 64:
+            raise ValueError("bloom_bits must be a multiple of 64")
         self._meta = os.path.join(root, "_meta")
         self._data = os.path.join(root, "data")
 
@@ -285,15 +295,41 @@ class SnapshotTable:
         pruning), push the key predicate into the parquet scan (row
         groups skip via min/max stats — files are doc_id-sorted within
         buckets), then fold only what's left. Cost is O(|keys| ·
-        files-per-bucket), independent of table size."""
-        # compute buckets with the same hash expression the writer used
+        files-per-bucket), independent of table size.
+
+        With ``bloom_bits`` enabled, keys whose probe bits are not all
+        set in their bucket's Bloom words are definitely absent — their
+        buckets are skipped without opening a single data file (the
+        negative-lookup fast path)."""
+        # compute buckets (and bloom probe bits) with the same hash
+        # expressions the writer used — one tiny driver-side job
         ids_df = self.spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
-        bks = [
-            r[0]
-            for r in ids_df.select(
-                bucket_expr(F.col("doc_id"), self.num_buckets)
-            ).distinct().collect()
-        ]
+        cols = [bucket_expr(F.col("doc_id"), self.num_buckets).alias("b")]
+        snap = self.snapshot(version)
+        blooms = snap.get("bucket_blooms") if snap.get("bloom_bits") == self.bloom_bits else None
+        if self.bloom_bits and blooms is not None:
+            cols += [p.alias(f"p{i}") for i, p in enumerate(self._bloom_positions(F.col("doc_id")))]
+        probe = ids_df.select(*cols).distinct().collect()
+        if self.bloom_bits and blooms is not None:
+            bks = set()
+            for r in probe:
+                words = blooms.get(str(r["b"]))
+                if words is None:
+                    continue  # bucket never written -> key absent
+                hit = all(
+                    words[r[f"p{i}"] // 64] & (1 << (r[f"p{i}"] % 64))
+                    for i in range(len(self._BLOOM_SEEDS))
+                )
+                if hit:
+                    bks.add(r["b"])
+            bks = sorted(bks)
+            if not bks:
+                schema = self.schema()
+                return self.spark.createDataFrame(
+                    [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
+                )
+        else:
+            bks = sorted({r["b"] for r in probe})
         pruned = self.read_files(sorted(bks), version).where(F.col("doc_id").isin(doc_ids))
         folded = fold_lww(pruned)
         if "_tombstone" in folded.columns:
@@ -418,6 +454,7 @@ class SnapshotTable:
         schema = new_schema or self.schema()
         if schema is None:
             raise ValueError("commit needs a schema for the first commit")
+        blooms = self._merge_blooms(prev, out_df, replace_buckets)
         props = dict(prev["properties"])
         props[f"last_epoch:{app_id}"] = epoch
         snap = {
@@ -431,8 +468,60 @@ class SnapshotTable:
             "properties": props,
             "lineage": lineage or {},
         }
+        if blooms is not None:
+            snap["bucket_blooms"] = blooms
+            snap["bloom_bits"] = self.bloom_bits
         self._publish(snap)
         return snap
+
+    # ------------------------------------------------------------- blooms
+
+    _BLOOM_SEEDS = (1, 2, 3)
+
+    def _bloom_positions(self, doc_id_col) -> list:
+        """Bit positions for a key — the same 3 salted-xxhash64 probes
+        on write and lookup."""
+        return [
+            F.pmod(F.xxhash64(doc_id_col, F.lit(s)), F.lit(self.bloom_bits))
+            for s in self._BLOOM_SEEDS
+        ]
+
+    def _merge_blooms(self, prev: dict, out_df: DataFrame, replace_buckets: set[int]):
+        """Per-bucket Bloom words for this commit's rows, OR-merged into
+        the previous manifest's blooms (replaced buckets start fresh —
+        compaction discards bits of expired keys)."""
+        if not self.bloom_bits:
+            return None
+        n_words = self.bloom_bits // 64
+        tmp = out_df.select(
+            "_bucket",
+            *[
+                p.alias(f"pos{si}")
+                for si, p in enumerate(self._bloom_positions(F.col("doc_id")))
+            ],
+        )
+        aggs = []
+        for si in range(len(self._BLOOM_SEEDS)):
+            word = F.floor(F.col(f"pos{si}") / 64).cast("int")
+            # shiftleft needs a column shift amount -> SQL expression form
+            bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pos{si} % 64 AS INT))")
+            for w in range(n_words):
+                aggs.append(
+                    F.bit_or(F.when(word == w, bit).otherwise(0)).alias(f"s{si}w{w}")
+                )
+        rows = tmp.groupBy("_bucket").agg(*aggs).collect()
+        old = {} if prev.get("bloom_bits") != self.bloom_bits else dict(prev.get("bucket_blooms", {}))
+        merged: dict[str, list[int]] = {
+            b: list(words) for b, words in old.items() if int(b) not in replace_buckets
+        }
+        for r in rows:
+            b = str(r["_bucket"])
+            words = merged.get(b, [0] * n_words)
+            for si in range(len(self._BLOOM_SEEDS)):
+                for w in range(n_words):
+                    words[w] |= r[f"s{si}w{w}"] or 0
+            merged[b] = words
+        return merged
 
     # -------------------------------------------------------- maintenance
 

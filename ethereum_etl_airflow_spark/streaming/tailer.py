@@ -127,8 +127,23 @@ class ChangeLogTailer:
         checkpoint_dir: str,
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
+        max_bytes_per_trigger: str | None = None,
+        processing_time: str | None = None,
     ):
         """Structured Streaming drive: file source -> foreachBatch apply.
+
+        Backpressure / rate limiting (the admission-control knobs a
+        10^10-event backlog replay needs so one trigger never bites off
+        more than executor memory chews):
+
+        * ``max_files_per_trigger`` — cap source files admitted per
+          micro-batch (file-count shaped feeds);
+        * ``max_bytes_per_trigger`` — cap admitted bytes (e.g. "512m"),
+          the size-shaped equivalent (maps to the file source's
+          ``maxBytesPerTrigger`` soft limit);
+        * ``processing_time`` — follow-mode cadence (e.g. "30 seconds"):
+          the trigger interval is the reference's sensor poke_interval
+          analogue (build_load_dag.py sensor cadence).
 
         Spark's checkpoint makes batch replay after failure possible;
         the epoch fence in the sink makes it harmless (exactly-once).
@@ -143,6 +158,8 @@ class ChangeLogTailer:
         reader = self.spark.readStream.schema(sample.schema)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        if max_bytes_per_trigger:
+            reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
         stream = reader.option("recursiveFileLookup", "true").parquet(self.feed_dir)
 
         stream_app = f"{self.app_id}:stream"
@@ -166,6 +183,8 @@ class ChangeLogTailer:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
         q = writer.start()
         if available_now:
             q.awaitTermination()

@@ -38,3 +38,18 @@ def test_follow_mode_picks_up_new_batches(spark, tmp_path):
         q.stop()
         q.awaitTermination()
     assert_state_matches(tailer.table, spark, CFG, CFG.n_batches - 1)
+
+def test_rate_limit_splits_backlog_into_micro_batches(spark, tmp_path):
+    """Backpressure: with maxFilesPerTrigger=1 an availableNow drain of
+    a 4-batch backlog must admit it over multiple fenced micro-batches
+    (never one giant bite), and still converge to the oracle state."""
+    feed = str(tmp_path / "feed")
+    write_feed(spark, CFG, feed)
+    tailer = ChangeLogTailer(spark, feed, str(tmp_path / "t"), app_id="rl", num_buckets=8)
+    tailer.run_stream(
+        checkpoint_dir=str(tmp_path / "cp"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    assert len(tailer.applied) > 1  # backlog split, not swallowed whole
+    assert_state_matches(tailer.table, spark, CFG, CFG.n_batches - 1)
