@@ -566,14 +566,74 @@ class SnapshotTable:
 
     # ------------------------------------------------------------- retention
 
-    def expire_snapshots(self, keep_last: int = 2) -> int:
-        """Drop manifests older than the last ``keep_last`` and GC data
-        files no live manifest references (reference: build_clean_dag.py
-        partition GC, M3; Iceberg expire_snapshots)."""
+    def update_properties(self, updates: dict) -> dict:
+        """Manifest-only commit merging properties (the ALTER TABLE SET
+        TBLPROPERTIES analogue) — carries retention policy, ownership
+        tags, etc. without touching data files."""
+        prev = self.snapshot()
+        if prev["version"] < 0:
+            raise ValueError("table has no snapshot yet")
+        snap = dict(prev)
+        snap.update(
+            version=prev["version"] + 1,
+            parent_version=prev["version"],
+            committed_at=time.time(),
+            commit_buckets=[],
+            properties={**prev["properties"], **updates},
+            lineage={"op": "set_properties", "keys": sorted(updates)},
+        )
+        self._publish(snap)
+        return snap
+
+    def maintain(self) -> dict:
+        """One property-driven maintenance pass (the reference's TTL
+        side tables + partition GC cadence, build_partition_dag.py:
+        113-146 72h/7d TTLs, build_clean_dag.py:99-115 — here a single
+        idempotent entry point a scheduler calls on whatever cadence):
+
+        * ``retention.compact_files``  — fold buckets at/over this many
+          files down to one (threshold compaction);
+        * ``retention.snapshot_ttl_sec`` + ``retention.keep_last`` —
+          expire snapshots older than the TTL (never dropping the last
+          ``keep_last``), GC unreferenced data files."""
+        props = self.snapshot()["properties"]
+        report: dict = {}
+        thr = int(props.get("retention.compact_files", self.compact_files))
+        over = [b for b, c in self.file_counts().items() if c >= thr]
+        if over:
+            self.compact(sorted(over))
+            report["compacted_buckets"] = len(over)
+        ttl = props.get("retention.snapshot_ttl_sec")
+        keep = int(props.get("retention.keep_last", 2))
+        report["files_removed"] = self.expire_snapshots(
+            keep_last=keep, ttl_sec=float(ttl) if ttl is not None else None
+        )
+        return report
+
+    def expire_snapshots(self, keep_last: int = 2, ttl_sec: float | None = None) -> int:
+        """Drop expired manifests and GC data files no live manifest
+        references (reference: build_clean_dag.py partition GC, M3;
+        Iceberg expire_snapshots). Live = the newest ``keep_last``
+        snapshots, plus — when ``ttl_sec`` is given — every snapshot
+        younger than the TTL (age-based retention window)."""
         cur = self.current_version()
         if cur < 0:
             return 0
         live_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        if ttl_sec is not None:
+            cutoff = time.time() - ttl_sec
+            for entry in os.listdir(self._meta):
+                if not entry.startswith("snapshot-"):
+                    continue
+                v = int(entry.split("-")[1].split(".")[0])
+                if v in live_versions:
+                    continue
+                try:
+                    with open(os.path.join(self._meta, entry)) as f:
+                        if json.load(f).get("committed_at", 0) >= cutoff:
+                            live_versions.add(v)
+                except (OSError, ValueError):
+                    pass
         referenced: set[str] = set()
         for v in live_versions:
             p = os.path.join(self._meta, f"snapshot-{v:012d}.json")
