@@ -172,7 +172,11 @@ def compile_spec_hex(
     # selector: events match topic0; calls match the 4-byte data prefix
     # (parse_logs.sql:31 / parse_traces.sql selector filters)
     if p.type == "log":
-        out = source.where(F.element_at(F.col("topics"), 1) == p.selector)
+        # topics[0] (GetArrayItem) not element_at: same null-safe filter
+        # semantics, but element_at here trips a Spark whole-stage-codegen
+        # bug ("isNull not an rvalue") that silently drops the filter
+        # stage to interpreted execution
+        out = source.where(F.col("topics")[0] == p.selector)
     else:
         # call input = 4-byte selector + ABI-encoded args: filter on the
         # prefix, then strip it so the decoder sees only the args tuple

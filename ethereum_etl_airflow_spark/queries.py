@@ -1211,6 +1211,56 @@ def parse_dataset_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("demo__purchase_counts")
 
 
+# ---------------------------------------------------------------------------
+# Secondary index maintained from CDC snapshot diffs (inverted access
+# path — ref build_partition_dag.py:112-146 by-topic/by-selector hash
+# shards, generalized): two apply batches + two incremental refreshes,
+# then the full posting list, which must equal the LWW fold's values.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "secondary_index_postings",
+    oracle="""
+    SELECT event_type AS value, CAST(user_id AS VARCHAR) AS ref_doc_id
+    FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="CDC-maintained inverted index (value -> doc_ids), built by two "
+    "incremental snapshot-diff refreshes; postings equal the LWW fold",
+    survey_ref="build_partition_dag.py:112-146 hash-sharded access paths; "
+    "M2 + rollup-style diff maintenance",
+)
+def secondary_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.operators.index import SecondaryIndex
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    # LWW change feed: latest event per user wins; 'error' is a delete
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type")).alias("event_kind"),
+    )
+    root = tempfile.mkdtemp(prefix="sec_index_")
+    table = SnapshotTable(spark, f"{root}/t", num_buckets=8)
+    idx = SecondaryIndex(table, f"{root}/ix", column="event_kind", num_buckets=8)
+    mid = int(hi) // 2
+    apply_changes(table, changes.where(F.col("seq") <= mid), "ix", epoch=0)
+    idx.refresh()  # first build
+    apply_changes(table, changes.where(F.col("seq") > mid), "ix", epoch=1)
+    idx.refresh()  # incremental diff refresh
+    return idx.index.read().select(F.col("value"), F.col("ref_doc_id"))
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
