@@ -76,6 +76,7 @@ BENCH_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 DO_HEADLINE = os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0"
+DO_MAIN = os.environ.get("SPARK_GRAFT_MAIN", "1") != "0"
 #: congestion retry: re-measure scaling in fresh windows until the
 #: efficiency bar is met, up to this many attempts / seconds
 SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
@@ -233,29 +234,35 @@ def main() -> None:
         from ethereum_etl_airflow_spark.sources.feed import write_feed
 
         write_feed(spark, cfg, feed_dir)
-        cdc_hi = replay(spark, feed_dir, os.path.join(work, "t_main"), f"main{CPUS}")
-        # read-side cost of merge-on-read: folded scan before vs after
-        # full compaction (answers the MOR read-amplification question)
-        from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+        if DO_MAIN:
+            cdc_hi = replay(spark, feed_dir, os.path.join(work, "t_main"), f"main{CPUS}")
+            # read-side cost of merge-on-read: folded scan before vs after
+            # full compaction (answers the MOR read-amplification question)
+            from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
 
-        t_main = SnapshotTable(spark, os.path.join(work, "t_main"))
-        read_amp = {}
-        for phase in ("delta", "compacted"):
-            if phase == "compacted":
+            t_main = SnapshotTable(spark, os.path.join(work, "t_main"))
+            read_amp = {}
+            for phase in ("delta", "compacted"):
+                if phase == "compacted":
+                    t0 = time.time()
+                    t_main.compact()
+                    read_amp["compact_sec"] = round(time.time() - t0, 3)
                 t0 = time.time()
-                t_main.compact()
-                read_amp["compact_sec"] = round(time.time() - t0, 3)
-            t0 = time.time()
-            t_main.read().write.format("noop").mode("overwrite").save()
-            read_amp[f"read_{phase}_sec"] = round(time.time() - t0, 3)
-        read_amp["max_files_per_bucket_before_compact"] = cdc_hi["batches"]
-        # bucketed (shuffle-free) ingest: the Kafka key-partitioned shape
-        feed_b = os.path.join(work, "feed_bucketed")
-        write_feed(spark, cfg, feed_b, bucketed_for=NUM_BUCKETS)
-        cdc_bucketed = replay(
-            spark, feed_b, os.path.join(work, "t_bucketed"), f"bk{CPUS}", bucketed=True
-        )
-        probe_main = cpu_probe(spark, CPUS)
+                t_main.read().write.format("noop").mode("overwrite").save()
+                read_amp[f"read_{phase}_sec"] = round(time.time() - t0, 3)
+            read_amp["max_files_per_bucket_before_compact"] = cdc_hi["batches"]
+            # bucketed (shuffle-free) ingest: the Kafka key-partitioned shape
+            feed_b = os.path.join(work, "feed_bucketed")
+            write_feed(spark, cfg, feed_b, bucketed_for=NUM_BUCKETS)
+            cdc_bucketed = replay(
+                spark, feed_b, os.path.join(work, "t_bucketed"), f"bk{CPUS}", bucketed=True
+            )
+            probe_main = cpu_probe(spark, CPUS)
+        else:
+            # scaling-focused run (quiet-window hunting): skip the main
+            # replay/read-amp/bucketed phases, go straight to scaling
+            cdc_hi = {"events_per_sec": None, "batches": N_BATCHES}
+            read_amp, cdc_bucketed, probe_main = {}, {}, None
         spark.stop()
 
         scaling = None
