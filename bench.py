@@ -79,8 +79,8 @@ DO_HEADLINE = os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0"
 DO_MAIN = os.environ.get("SPARK_GRAFT_MAIN", "1") != "0"
 #: congestion retry: re-measure scaling in fresh windows until the
 #: efficiency bar is met, up to this many attempts / seconds
-SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
-SCALE_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "1500"))
+SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "2"))
+SCALE_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "700"))
 SCALE_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET_EFF", "0.75"))
 N_BATCHES = 4
 
