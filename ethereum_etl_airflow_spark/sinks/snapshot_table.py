@@ -119,6 +119,13 @@ class SnapshotTable:
             raise ValueError("bloom_bits must be a multiple of 64")
         self._meta = os.path.join(root, "_meta")
         self._data = os.path.join(root, "data")
+        # an existing table's bucket fan-out is owned by its manifest
+        # (it may have been rebucketed since creation) — the constructor
+        # argument only seeds brand-new tables
+        if self.exists():
+            manifest_buckets = self.snapshot().get("num_buckets")
+            if manifest_buckets:
+                self.num_buckets = int(manifest_buckets)
 
     # ------------------------------------------------------------------ meta
 
@@ -304,8 +311,11 @@ class SnapshotTable:
         # compute buckets (and bloom probe bits) with the same hash
         # expressions the writer used — one tiny driver-side job
         ids_df = self.spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
-        cols = [bucket_expr(F.col("doc_id"), self.num_buckets).alias("b")]
         snap = self.snapshot(version)
+        # the queried snapshot's fan-out, not the current one — time
+        # travel across a rebucket must prune with the old layout
+        nb = int(snap.get("num_buckets") or self.num_buckets)
+        cols = [bucket_expr(F.col("doc_id"), nb).alias("b")]
         blooms = snap.get("bucket_blooms") if snap.get("bloom_bits") == self.bloom_bits else None
         if self.bloom_bits and blooms is not None:
             cols += [p.alias(f"p{i}") for i, p in enumerate(self._bloom_positions(F.col("doc_id")))]
@@ -394,6 +404,8 @@ class SnapshotTable:
         lineage: dict | None = None,
         new_schema: T.StructType | None = None,
         align_buckets: bool = True,
+        full_replace: bool = False,
+        new_num_buckets: int | None = None,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -439,17 +451,25 @@ class SnapshotTable:
                 ]
                 written.setdefault(b, []).extend(files)
 
-        commit_buckets = sorted({int(b) for b in written} | set(replace_buckets))
-        bucket_files = dict(prev["bucket_files"])
-        for b in replace_buckets:
-            new_files = written.pop(str(b), [])
-            if new_files:
-                bucket_files[str(b)] = new_files
-            else:
-                # compaction produced no rows (everything deleted+expired)
-                bucket_files.pop(str(b), None)
-        for b, new_files in written.items():  # pure deltas: append
-            bucket_files[b] = bucket_files.get(b, []) + new_files
+        if full_replace:
+            # whole-table rewrite (rebucketing): the new file set IS the
+            # table; every previous bucket is dropped
+            replace_buckets = {int(b) for b in prev["bucket_files"]}
+            commit_buckets = sorted(int(b) for b in written)
+            bucket_files = dict(written)
+            written = {}
+        else:
+            commit_buckets = sorted({int(b) for b in written} | set(replace_buckets))
+            bucket_files = dict(prev["bucket_files"])
+            for b in replace_buckets:
+                new_files = written.pop(str(b), [])
+                if new_files:
+                    bucket_files[str(b)] = new_files
+                else:
+                    # compaction produced no rows (everything deleted+expired)
+                    bucket_files.pop(str(b), None)
+            for b, new_files in written.items():  # pure deltas: append
+                bucket_files[b] = bucket_files.get(b, []) + new_files
 
         schema = new_schema or self.schema()
         if schema is None:
@@ -462,7 +482,7 @@ class SnapshotTable:
             "parent_version": prev["version"],
             "committed_at": time.time(),
             "schema": schema.jsonValue(),
-            "num_buckets": self.num_buckets,
+            "num_buckets": new_num_buckets or self.num_buckets,
             "bucket_files": bucket_files,
             "commit_buckets": commit_buckets,
             "properties": props,
@@ -472,7 +492,37 @@ class SnapshotTable:
             snap["bucket_blooms"] = blooms
             snap["bloom_bits"] = self.bloom_bits
         self._publish(snap)
+        if new_num_buckets:
+            self.num_buckets = new_num_buckets
         return snap
+
+    def rebucket(self, new_num_buckets: int, app_id: str = "maintenance") -> dict:
+        """Online partition-spec evolution: rewrite the table into a new
+        hash-bucket fan-out in ONE atomic commit (Iceberg partition
+        evolution / Kafka topic repartitioning analogue). The growth
+        path at scale: a table bucketed for 10^8 keys re-fans to 10^10
+        without downtime — readers of the old snapshot keep their
+        layout (time travel retains it), the new snapshot owns the new
+        one, and every future instance adopts the manifest's fan-out."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        folded = self.read_raw()  # one row per key incl. tombstones
+        out = folded.withColumn(
+            "_bucket", bucket_expr(F.col("doc_id"), new_num_buckets)
+        )
+        return self.commit(
+            out,
+            replace_buckets=set(),
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            full_replace=True,
+            new_num_buckets=new_num_buckets,
+            lineage={
+                "op": "rebucket",
+                "from_buckets": self.num_buckets,
+                "to_buckets": new_num_buckets,
+            },
+        )
 
     # ------------------------------------------------------------- blooms
 
