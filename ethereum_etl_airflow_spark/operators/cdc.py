@@ -194,6 +194,9 @@ def apply_changes(
         "deletes_in": m_in["deletes_in"],
         "offset_range": [m_in["min_seq"], m_in["max_seq"]],
         "touched_buckets": len(snap.get("commit_buckets", [])),
+        # per-partition lineage (north rule): rows this batch landed in
+        # each hash bucket, from the commit's parquet footers
+        "bucket_rows_written": snap.get("bucket_rows_written", {}),
         "compacted_buckets": len(compact_set),
         "rows_out": m_out["rows_out"],
         "tombstones_out": m_out["tombstones_out"],

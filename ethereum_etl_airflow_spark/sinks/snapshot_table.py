@@ -451,6 +451,22 @@ class SnapshotTable:
                 ]
                 written.setdefault(b, []).extend(files)
 
+        # per-partition lineage: rows landed per bucket, read from the
+        # parquet footers of this commit's files (driver-local metadata
+        # reads, no Spark job) — the north rule's per-partition offset/
+        # count/snapshot lineage at bucket granularity
+        bucket_rows: dict[str, int] = {}
+        try:
+            import pyarrow.parquet as pq
+
+            for b, files in written.items():
+                bucket_rows[b] = sum(
+                    pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
+                    for f in files
+                )
+        except Exception:
+            bucket_rows = {}
+
         if full_replace:
             # whole-table rewrite (rebucketing): the new file set IS the
             # table; every previous bucket is dropped
@@ -485,6 +501,7 @@ class SnapshotTable:
             "num_buckets": new_num_buckets or self.num_buckets,
             "bucket_files": bucket_files,
             "commit_buckets": commit_buckets,
+            "bucket_rows_written": bucket_rows,
             "properties": props,
             "lineage": lineage or {},
         }

@@ -57,3 +57,15 @@ def test_empty_range_rejected(spark, tmp_path):
     apply_changes(t, _batch(spark, [("I", "a", 1, 1)]), "cf", 0)
     with pytest.raises(ValueError, match="empty change range"):
         table_changes(t, t.current_version())
+
+
+def test_per_bucket_lineage_rows_written(spark, tmp_path):
+    """North-rule per-partition lineage: each apply records rows landed
+    per bucket; their sum equals the batch's folded output rows."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    lineage = apply_changes(
+        t, _batch(spark, [("I", f"k{i}", i + 1, i) for i in range(25)]), "pl", 0
+    )
+    per_bucket = lineage["bucket_rows_written"]
+    assert per_bucket and sum(per_bucket.values()) == 25
+    assert set(per_bucket) <= {str(b) for b in range(4)}
