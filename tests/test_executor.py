@@ -166,3 +166,54 @@ class TestStitch:
             compile_spec(specs["demo.signups"], src).orderBy("event_id").collect()
         )
         assert stitched == want and len(stitched) > 0
+
+
+class TestHexSpecInExecutor:
+    def test_hex_spec_materializes_and_feeds_sql_view(self, spark, tmp_path):
+        """A hex-ABI spec runs through the same planner/executor
+        lifecycle as JSON specs, and a SQL view consumes its output."""
+        from ethereum_etl_airflow_spark.plans.spec import SqlViewSpec
+
+        hex_spec = parse_spec(
+            {
+                "parser": {
+                    "type": "log",
+                    "encoding": "hex",
+                    "selector": "0xsel",
+                    "contract_address": None,
+                    "fields": [
+                        {"name": "who", "abi_type": "address", "indexed": True},
+                        {"name": "amount", "abi_type": "uint32"},
+                    ],
+                },
+                "table": {"dataset_name": "demo", "table_name": "hex_transfers"},
+            }
+        )
+        specs = {
+            "demo.hex_transfers": hex_spec,
+            "demo.amounts": SqlViewSpec(
+                "demo",
+                "amounts",
+                "SELECT who, SUM(amount) AS total FROM ref('demo.hex_transfers') GROUP BY who",
+            ),
+        }
+        src = _events(spark, n=100).select(
+            "event_id", "ts", "user_id",
+            F.lpad(F.lower(F.conv(F.col("event_id").cast("string"), 10, 16)), 64, "0").alias("data"),
+            F.array(
+                F.lit("0xsel"),
+                F.lpad(F.substring(F.md5(F.col("user_id").cast("string")), 1, 40), 64, "0"),
+            ).alias("topics"),
+        )
+        ex = ParseDatasetExecutor(spark, str(tmp_path / "p"), specs)
+        report = ex.run(src, upto_pos=99)
+        assert report["demo.hex_transfers"] == "full_refresh"
+        assert report["demo.amounts"] == "view"
+        rows = ex.read("demo.hex_transfers")
+        assert rows.count() == 100
+        got = {r["who"]: r["total"] for r in spark.table("demo__amounts").collect()}
+        want = {
+            r["who"]: r["s"]
+            for r in rows.groupBy("who").agg(F.sum("amount").alias("s")).collect()
+        }
+        assert got == want and len(got) == 7  # 7 distinct user_ids
