@@ -356,7 +356,28 @@ def main() -> None:
         "scaling": scaling,
         "cpus": CPUS,
     }
-    print(json.dumps(out))
+    # full result goes to a FILE (r2 postmortem: the driver tail-captures
+    # stdout, and one giant line got its head truncated -> parsed:null);
+    # stdout carries ONE compact final line that always fits the capture
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    with open(full_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"[bench] full result written to {full_path}", file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "sf": out["sf"],
+        "headline_total_sec": out["headline_total_sec"],
+        "cdc_warm_eps": cdc_hi.get("warm_events_per_sec"),
+        "cdc_bucketed_eps": (cdc_bucketed or {}).get("events_per_sec"),
+        "scaling_efficiency": (scaling or {}).get("efficiency"),
+        "cpu_probe_speedup": (scaling or {}).get("cpu_probe_speedup"),
+        "efficiency_vs_probe": (scaling or {}).get("efficiency_vs_probe"),
+        "full": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -81,14 +81,24 @@ def keccak256(data: bytes) -> bytes:
 
 def canonical_signature(abi_item: dict) -> str:
     """``Name(type1,type2,...)`` with tuples expanded to
-    ``(comp1,comp2,...)`` — the public ABI canonical form the reference
-    hashes (generate_parse_sql.py:21-23)."""
+    ``(comp1,comp2,...)`` and elementary-type aliases normalized
+    (``uint``→``uint256``, ``int``→``int256``, including array
+    suffixes) — the public ABI canonical form the reference hashes
+    (generate_parse_sql.py:21-23; eth_utils event_abi_to_log_topic
+    applies the same normalization, so an ABI item written with
+    shorthand types must derive the SAME selector here)."""
+    import re as _re
+
+    _alias = _re.compile(r"^(uint|int)((\[\d*\])*)$")
 
     def canon(inp: dict) -> str:
         typ = inp["type"]
         if typ.startswith("tuple"):
             inner = ",".join(canon(c) for c in inp.get("components", []))
             return f"({inner}){typ[len('tuple'):]}"  # keeps [] / [k] suffixes
+        m = _alias.match(typ)
+        if m:
+            return f"{m.group(1)}256{m.group(2)}"
         return typ
 
     args = ",".join(canon(i) for i in abi_item.get("inputs", []))

@@ -72,6 +72,13 @@ def table_changes(
         for v in range(from_version + 1, to_v + 1):
             touched.update(table.snapshot(v).get("commit_buckets", []))
         buckets: list[int] | None = sorted(touched)
+        # bucket ids are layout-relative: if the range spans a rebucket
+        # the two snapshots disagree on what bucket b means, so pruning
+        # with one layout misreads the other -> full-scan diff (ADVICE r2)
+        if from_version >= 0 and table.snapshot(from_version).get(
+            "num_buckets"
+        ) != table.snapshot(to_v).get("num_buckets"):
+            buckets = None
     except FileNotFoundError:
         buckets = None  # expired intermediate manifest: scan all buckets
     new_all = table.read_raw(buckets, version=to_v)

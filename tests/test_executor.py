@@ -124,6 +124,37 @@ class TestIncrementalEquivalence:
         assert rep["demo.signups"] == "fenced"
         assert ex2.read("demo.signups").count() == n1
 
+    def test_changed_spec_at_same_pos_is_not_fenced(self, spark, tmp_path):
+        """ADVICE r2 (medium): a planner-mandated full refresh of a
+        CHANGED spec must not be swallowed by the epoch fence when run()
+        re-executes at an unchanged upto_pos — otherwise the history
+        keeps old-spec rows forever."""
+        specs = {"demo.signups": _json_spec("signups", "signup")}
+        src = _events(spark)
+        ex = ParseDatasetExecutor(spark, str(tmp_path / "p"), specs)
+        ex.run(src, upto_pos=100)
+        assert "k2" not in ex.read("demo.signups").columns
+
+        edited = {
+            "demo.signups": _json_spec(
+                "signups",
+                "signup",
+                fields=[
+                    {"name": "k", "path": "$.k", "type": "bigint"},
+                    {"name": "k2", "path": "$.k", "type": "int"},
+                ],
+            )
+        }
+        ex2 = ParseDatasetExecutor(spark, str(tmp_path / "p"), edited)
+        rep = ex2.run(src, upto_pos=100)  # SAME position, changed spec
+        assert rep["demo.signups"] == "full_refresh"
+        out = ex2.read("demo.signups")
+        assert "k2" in out.columns
+        assert out.where(F.col("k2").isNotNull()).count() > 0
+        # and the fence still holds for a true replay of the new spec
+        ex3 = ParseDatasetExecutor(spark, str(tmp_path / "p"), edited)
+        assert ex3.run(src, upto_pos=100)["demo.signups"] == "fenced"
+
     def test_position_must_advance(self, spark, tmp_path):
         specs = {"demo.signups": _json_spec("signups", "signup")}
         ex = ParseDatasetExecutor(spark, str(tmp_path / "p"), specs)

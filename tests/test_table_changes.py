@@ -52,6 +52,23 @@ def test_changes_from_minus_one_is_full_insert_feed(spark, tmp_path):
     assert {r["_change_type"] for r in got} == {"insert"} and len(got) == 2
 
 
+def test_changes_across_rebucket_are_exact(spark, tmp_path):
+    """ADVICE r2 (low): bucket ids are layout-relative — a diff range
+    spanning a rebucket (here 8 -> 2 buckets) must fall back to a full
+    scan, or unchanged rows in old-layout buckets >= the new fan-out
+    get misreported as inserts."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=8)
+    rows = [("I", f"k{i}", i + 1, i * 10) for i in range(40)]
+    apply_changes(t, _batch(spark, rows), "cf", 0)
+    v0 = t.current_version()
+    t.rebucket(2)
+    apply_changes(t, _batch(spark, [("U", "k0", 100, 999), ("I", "new", 101, 1)]), "cf", 1)
+    got = {r["doc_id"]: r["_change_type"] for r in table_changes(t, v0).collect()}
+    # ONLY the genuinely-changed rows appear; no phantom inserts from
+    # unchanged keys that moved buckets
+    assert got == {"k0": "update", "new": "insert"}
+
+
 def test_empty_range_rejected(spark, tmp_path):
     t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
     apply_changes(t, _batch(spark, [("I", "a", 1, 1)]), "cf", 0)
