@@ -1335,6 +1335,64 @@ def secondary_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.index.read().select(F.col("value"), F.col("ref_doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# CDF follow mode: a derived table maintained continuously from the
+# upstream table's change-data-feed (foreachBatch bridge, exactly-once
+# cursor) — ref build_verify_streaming_dag.py:81-100 live-view chain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdf_derived_follow",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS doc_id,
+           CAST(CAST(value AS DECIMAL(38,6)) * 2 AS DOUBLE) AS val2
+    FROM (
+        SELECT user_id, value, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    doc="change-data-feed follow: upstream CDC table -> transformed "
+    "derived table maintained by two incremental CDF cycles; derived "
+    "state equals transform(LWW fold) of the whole feed",
+    survey_ref="build_verify_streaming_dag.py:81-100 live-view freshness "
+    "chain; Delta/Iceberg CDF streaming-source pattern",
+)
+def cdf_derived_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+    from ethereum_etl_airflow_spark.streaming.cdf_follow import CdfFollower
+
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.agg(F.max("event_id")).collect()[0][0]
+    changes = ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("value").alias("val"),
+    )
+    root = tempfile.mkdtemp(prefix="cdf_follow_")
+    up = SnapshotTable(spark, f"{root}/up", num_buckets=8)
+    follower = CdfFollower(
+        spark,
+        up,
+        f"{root}/derived",
+        lambda df: df.select(
+            "doc_id",
+            (F.col("val").cast("decimal(38,6)") * 2).cast("double").alias("val2"),
+        ),
+    )
+    mid = int(hi) // 2
+    apply_changes(up, changes.where(F.col("seq") <= mid), "cdf", epoch=0)
+    follower.run_until_caught_up()  # first cycle: full insert feed
+    apply_changes(up, changes.where(F.col("seq") > mid), "cdf", epoch=1)
+    follower.run_until_caught_up()  # second cycle: net diff only
+    return follower.read().select("doc_id", "val2")
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401

@@ -39,11 +39,13 @@ while time.time() < deadline and best_eff < 0.72:
         env = dict(os.environ, SPARK_GRAFT_HEADLINE="0", SPARK_GRAFT_MAIN="0",
                    SPARK_GRAFT_SCALE_ATTEMPTS="2", SPARK_GRAFT_SCALE_BUDGET_SEC="900")
         r = subprocess.run([sys.executable, "/root/repo/bench.py"], capture_output=True, text=True, env=env, timeout=1800)
-        for line in reversed(r.stdout.strip().splitlines()):
-            try:
-                d = json.loads(line); break
-            except Exception:
-                d = None
+        # bench.py writes the complete result (incl. the full scaling
+        # block) to BENCH_FULL.json; stdout carries only a compact line
+        try:
+            with open("/root/repo/BENCH_FULL.json") as f:
+                d = json.load(f)
+        except Exception:
+            d = None
         if d and d.get("scaling"):
             eff = d["scaling"].get("efficiency") or 0
             log.write(f"  -> eff={eff} probe={d['scaling'].get('cpu_probe_speedup')}\n")
