@@ -359,7 +359,12 @@ def main() -> None:
     # full result goes to a FILE (r2 postmortem: the driver tail-captures
     # stdout, and one giant line got its head truncated -> parsed:null);
     # stdout carries ONE compact final line that always fits the capture
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path = Path(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            Path(__file__).resolve().parent / "BENCH_FULL.json",
+        )
+    )
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[bench] full result written to {full_path}", file=sys.stderr)

@@ -135,15 +135,33 @@ def _to_signed64(u: int) -> int:
     return u - (1 << 64) if u >= (1 << 63) else u
 
 
+class i64(int):
+    """Operand explicitly marked as a Spark ``LongType`` value.
+
+    JVM hashing is TYPE-driven, not value-driven: ``xxhash64`` over a
+    ``bigint`` column consumes 8 bytes even for small magnitudes, while
+    an ``int`` column consumes 4.  Wrap driver-side literals destined
+    for a LongType comparison in ``i64(...)`` to force the 8-byte path.
+    """
+
+
 def spark_xxhash64(*values) -> int:
     """Driver-side equivalent of ``F.xxhash64(*cols)`` for str / 32-bit
-    int / 64-bit int literals, returned SIGNED like the JVM column."""
+    int / 64-bit int literals, returned SIGNED like the JVM column.
+
+    A plain ``int`` follows IntegerType semantics when it fits 32 bits
+    (value-driven fallback, kept for parity-test coverage of the int
+    path); use :class:`i64` to pin LongType semantics regardless of
+    magnitude — the JVM hashes by column type, not value.
+    """
     h = SPARK_XXHASH_SEED
     for v in values:
         if isinstance(v, str):
             h = xxhash64_bytes(v.encode("utf-8"), h)
         elif isinstance(v, bool):
             raise TypeError("bool hashing not mapped")
+        elif isinstance(v, i64):
+            h = xxhash64_bytes(v.to_bytes(8, "little", signed=True), h)
         elif isinstance(v, int):
             width = 4 if -(1 << 31) <= v < (1 << 31) else 8
             h = xxhash64_bytes(v.to_bytes(width, "little", signed=True), h)
@@ -152,8 +170,17 @@ def spark_xxhash64(*values) -> int:
     return _to_signed64(h)
 
 
-def bucket_of(doc_id: str, num_buckets: int) -> int:
+def bucket_of(doc_id, num_buckets: int) -> int:
     """Driver-side twin of ``sinks.snapshot_table.bucket_expr`` —
     ``pmod(xxhash64(doc_id), num_buckets)`` (Python ``%`` on a positive
-    modulus IS Java pmod)."""
+    modulus IS Java pmod).
+
+    Integer keys are hashed with LongType semantics: every integral id
+    column in this engine (and in Spark DataFrames built from Python
+    ints) is ``bigint``, and the JVM hashes the full 8 bytes even for
+    small values — a value-width heuristic would silently probe the
+    wrong bucket for keys < 2^31.
+    """
+    if isinstance(doc_id, int) and not isinstance(doc_id, bool):
+        doc_id = i64(doc_id)
     return spark_xxhash64(doc_id) % num_buckets

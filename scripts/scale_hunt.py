@@ -37,12 +37,13 @@ while time.time() < deadline and best_eff < 0.72:
     if sp >= 2.85:
         log.write(f"{time.strftime('%H:%M:%S')} QUIET window -> bench\n")
         env = dict(os.environ, SPARK_GRAFT_HEADLINE="0", SPARK_GRAFT_MAIN="0",
-                   SPARK_GRAFT_SCALE_ATTEMPTS="2", SPARK_GRAFT_SCALE_BUDGET_SEC="900")
+                   SPARK_GRAFT_SCALE_ATTEMPTS="2", SPARK_GRAFT_SCALE_BUDGET_SEC="900",
+                   SPARK_GRAFT_BENCH_OUT="/tmp/hunter_bench_full.json")
         r = subprocess.run([sys.executable, "/root/repo/bench.py"], capture_output=True, text=True, env=env, timeout=1800)
-        # bench.py writes the complete result (incl. the full scaling
-        # block) to BENCH_FULL.json; stdout carries only a compact line
+        # the scaling-only run writes to its own file so it never
+        # clobbers the committed headline BENCH_FULL.json
         try:
-            with open("/root/repo/BENCH_FULL.json") as f:
+            with open("/tmp/hunter_bench_full.json") as f:
                 d = json.load(f)
         except Exception:
             d = None

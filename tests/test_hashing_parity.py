@@ -58,6 +58,35 @@ def test_bucket_of_matches_bucket_expr(spark):
         assert bucket_of(k, 16) == jvm[k]
 
 
+def test_xxhash64_long_column_parity(spark):
+    """A bigint column hashes 8 bytes even for small values — the
+    driver-side twin must match via the i64 marker (type-driven, not
+    value-driven, hashing)."""
+    from ethereum_etl_airflow_spark.functions.hashing import i64
+
+    vals = [0, 1, -1, 5, 2**31 - 1, -(2**31), 2**31, 2**40, -(2**40), 2**63 - 1, -(2**63)]
+    df = spark.createDataFrame([(v,) for v in vals], "l long")
+    jvm = [r["h"] for r in df.select(F.xxhash64("l").alias("h")).collect()]
+    py = [spark_xxhash64(i64(v)) for v in vals]
+    assert py == jvm
+
+
+def test_bucket_of_long_keys_match_bucket_expr(spark):
+    """bucket_of on integer keys must agree with bucket_expr over the
+    bigint column Spark infers for Python ints — including small
+    magnitudes where a value-width heuristic would hash 4 bytes."""
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import bucket_expr
+
+    keys = list(range(50)) + [2**31, 2**40, -7, 2**63 - 1]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    jvm = {
+        r["doc_id"]: r["b"]
+        for r in df.select("doc_id", bucket_expr(F.col("doc_id"), 16).alias("b")).collect()
+    }
+    for k in keys:
+        assert bucket_of(k, 16) == jvm[k]
+
+
 def test_xxhash64_bytes_known_vectors():
     # xxHash reference vectors (xxhsum: XXH64 of b"" seed 0, b"a" etc.)
     assert xxhash64_bytes(b"", 0) == 0xEF46DB3751D8E999
