@@ -1,0 +1,261 @@
+"""Corpus-preparation operators for a training-data pipeline:
+sequence packing, stratified sampling, vocabulary building, mixture
+upsampling.
+
+The reference pipeline ends at parsed per-row tables (dags/resources/
+stages/parse writes one decoded table per event); a training pipeline
+continues from there: pack documents into fixed-length context
+windows, rebalance sources, build the token vocabulary, and upsample
+under-represented sources.  Each operator here is expressed
+Spark-first with an eye on the 100 TB shape:
+
+* ``corpus_pack_sequences`` — contiguous greedy packing by global
+  token offset.  The global running sum is computed with a TWO-PHASE
+  distributed scan (per-block partial sums -> tiny driver cumsum of
+  block offsets -> broadcast back), NOT a single-partition global
+  window: the classic parallel prefix-sum, so no stage ever sees more
+  than one block's rows in one task.
+* ``corpus_stratified_sample`` — deterministic per-source cap via
+  portable hashing: keep doc iff ``phash60(doc) % source_count <
+  CAP``.  Exact integer math, no float rates, replayable bit-for-bit
+  by the oracle; per-source counts come from a broadcast-joined
+  aggregate (source cardinality is bounded).
+* ``corpus_vocab_topk`` — explode -> hash-agg (map-side combine) ->
+  TakeOrdered top-k; token ids assigned by row_number over the k
+  survivors only.
+* ``corpus_mixture_upsample`` — epoch replication to flatten the
+  source mixture: repeats = min(3, ceil(max_count / count)) computed
+  in exact integer arithmetic, rows exploded via ``sequence()``
+  (narrow op — no shuffle beyond the count aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ethereum_etl_airflow_spark.functions.hashing import phash60, phash60_sql
+from ethereum_etl_airflow_spark.queries import _t, register
+
+#: context-window length (tokens) for sequence packing
+PACK_MAX_LEN = 512
+
+#: documents per block for the two-phase prefix sum.  At 10^10 docs a
+#: 10^6 block still leaves only 10^4 block offsets on the driver.
+PACK_BLOCK = 100
+
+#: per-source document cap for stratified sampling
+SAMPLE_CAP = 15
+
+#: max replication factor for mixture upsampling
+MIX_MAX_EPOCHS = 3
+
+
+def _docs_with_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+
+def global_prefix_sum(df: DataFrame, order_col: str, val_col: str, block_size: int) -> DataFrame:
+    """Exclusive global prefix sum of ``val_col`` in ``order_col``
+    order, as a new column ``start`` — the distributed two-phase scan.
+
+    Phase 1 aggregates one partial sum per block (monotone mapping of
+    the order column, so block order == global order).  Phase 2 does a
+    CUMSUM OVER BLOCKS on the driver — bounded at rows/block_size
+    entries, e.g. 10^4 for 10^10 rows at block 10^6 — and broadcasts
+    the offsets back.  Phase 3 is a per-block window.  No task ever
+    materializes more than one block; contrast the naive
+    ``Window.orderBy(order)`` which funnels the WHOLE table through a
+    single partition.
+    """
+    blocked = df.withColumn("_blk", F.expr(f"{order_col} div {block_size}"))
+    # phase 1+2: per-block sums -> driver cumsum (bounded) -> broadcast
+    sums = blocked.groupBy("_blk").agg(F.sum(val_col).alias("_bsum")).collect()
+    offsets, acc = [], 0
+    for r in sorted(sums, key=lambda r: r["_blk"]):
+        offsets.append((r["_blk"], acc))
+        acc += r["_bsum"]
+    off_df = df.sparkSession.createDataFrame(offsets, "_blk long, _boff long")
+    # phase 3: in-block exclusive cumsum + block offset
+    w = (
+        W.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        blocked.join(F.broadcast(off_df), "_blk")
+        .withColumn(
+            "start",
+            (F.sum(val_col).over(w) - F.col(val_col) + F.col("_boff")).cast("long"),
+        )
+        .drop("_blk", "_boff")
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), o AS (
+        SELECT doc_id, n_tok,
+               SUM(n_tok) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS start
+        FROM d
+    )
+    SELECT start // {PACK_MAX_LEN} AS seq_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id
+    FROM o GROUP BY 1
+    """,
+    doc=f"sequence packing into {PACK_MAX_LEN}-token context windows via "
+    "a distributed two-phase prefix sum (no single-partition window)",
+    survey_ref="training-data extension (SURVEY §2.9 family); packs the "
+    "token stream the ref's parsed tables feed into fixed windows",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document is assigned to the context window its FIRST token
+    lands in (document-level greedy contiguous packing — a window may
+    overflow by the tail of its last straddling doc; the packer's
+    consumer truncates).  Deterministic: global order is doc_id."""
+    d = _docs_with_ntok(spark, sf_dir).select("doc_id", "n_tok")
+    o = global_prefix_sum(d, "doc_id", "n_tok", PACK_BLOCK)
+    return (
+        o.withColumn("seq_id", F.expr(f"start div {PACK_MAX_LEN}"))
+        .groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+    )
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source,
+               COUNT(*) OVER (PARTITION BY source) AS cnt
+        FROM documents
+    )
+    SELECT doc_id, source FROM c
+    WHERE cnt <= {SAMPLE_CAP}
+       OR {phash60_sql("'sample:' || CAST(doc_id AS VARCHAR)")} % cnt < {SAMPLE_CAP}
+    """,
+    doc=f"deterministic stratified sampling: cap each source at ~{SAMPLE_CAP} "
+    "docs via portable-hash thresholding (exact integer rule, no float rates)",
+    survey_ref="training-data extension; W2 LIMIT-sampling made "
+    "deterministic and per-stratum",
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keep iff ``hash % source_count < CAP`` — every doc decides from
+    (its own hash, its source's count) alone, so the filter is a
+    broadcast join + narrow map: no shuffle of the fact table, no
+    per-stratum sort, and adding data to ONE source never changes
+    another source's sample."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    h = phash60(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    return (
+        d.join(F.broadcast(counts), "source")
+        .where((F.col("cnt") <= SAMPLE_CAP) | (h % F.col("cnt") < SAMPLE_CAP))
+        .select("doc_id", "source")
+    )
+
+
+@register(
+    "corpus_vocab_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+        ORDER BY n DESC, token ASC LIMIT 20
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS BIGINT)
+               AS token_id,
+           token, n
+    FROM counts
+    """,
+    doc="vocabulary top-k: explode -> hash-agg with map-side combine -> "
+    "TakeOrdered; ids assigned over the k survivors only",
+    survey_ref="training-data extension; ref has no vocab stage — this is "
+    "the BPE-vocab-counting step a tokenized-sequence table needs",
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The only wide op is the token-count agg (partial aggregation
+    combines within each scan task first — vocab cardinality, not
+    corpus size, crosses the wire).  The top-k is orderBy+limit, which
+    Spark executes as TakeOrdered (per-partition heaps, no full sort);
+    the row_number window runs over k rows."""
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+    w = W.orderBy(F.desc("n"), F.asc("token"))
+    return toks.withColumn("token_id", (F.row_number().over(w) - 1).cast("long")).select(
+        "token_id", "token", "n"
+    )
+
+
+@register(
+    "corpus_mixture_upsample",
+    oracle=f"""
+    WITH c AS (
+        SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), m AS (
+        SELECT source, cnt,
+               MAX(cnt) OVER () AS max_cnt
+        FROM c
+    ), r AS (
+        SELECT source,
+               LEAST({MIX_MAX_EPOCHS}, (max_cnt + cnt - 1) // cnt) AS repeats
+        FROM m
+    )
+    SELECT d.doc_id, d.source, CAST(e.epoch AS INT) AS epoch
+    FROM documents d
+    JOIN r ON d.source = r.source
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, r.repeats)) AS epoch) e
+    """,
+    doc=f"mixture upsampling: replicate each source ceil(max/cnt) times "
+    f"(capped at {MIX_MAX_EPOCHS} epochs) to flatten the source mixture",
+    survey_ref="training-data extension; the dual of stratified "
+    "downsampling — epoch-weighted source mixing",
+)
+def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts are one broadcast-sized aggregate (bounded source
+    cardinality); replication is ``explode(sequence(1, repeats))`` — a
+    narrow per-row generator, so the 100 TB cost is exactly the output
+    volume, with no shuffle of the replicated rows."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("cnt"))
+    mx = counts.agg(F.max("cnt").alias("max_cnt"))
+    rep = (
+        counts.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "repeats",
+            F.least(
+                F.lit(MIX_MAX_EPOCHS),
+                F.expr("(max_cnt + cnt - 1) div cnt"),
+            ),
+        )
+        .select("source", "repeats")
+    )
+    return (
+        d.join(F.broadcast(rep), "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("repeats").cast("int"))))
+        .select("doc_id", "source", "epoch")
+    )

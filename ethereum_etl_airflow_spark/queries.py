@@ -1399,6 +1399,7 @@ from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F
 from ethereum_etl_airflow_spark.functions import multimodal as _multimodal  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import similarity as _similarity  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import text as _text  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import corpus as _corpus  # noqa: E402,F401
 from ethereum_etl_airflow_spark.operators import temporal as _temporal  # noqa: E402,F401
 
 

@@ -1,0 +1,105 @@
+"""Corpus-prep operator semantics on hand-built skewed frames.
+
+The sf0.01 oracle pass runs these operators on the uniform synthetic
+corpus (all sources the same size — upsample repeats collapse to 1);
+these tests exercise the paths the uniform corpus can't:
+
+* two-phase prefix sum vs a single global window — equal on inputs
+  that straddle block boundaries, with gaps in the order column;
+* mixture upsampling actually replicating skewed sources, honoring
+  the epoch cap;
+* stratified sampling respecting the exact hash rule and the small-
+  source passthrough.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ethereum_etl_airflow_spark.functions.corpus import (
+    MIX_MAX_EPOCHS,
+    SAMPLE_CAP,
+    corpus_mixture_upsample,
+    corpus_stratified_sample,
+    global_prefix_sum,
+)
+from ethereum_etl_airflow_spark.functions.hashing import phash60
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows):
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, DOC_SCHEMA).write.mode("overwrite").parquet(p)
+
+
+def test_prefix_sum_matches_global_window(spark):
+    # ids with gaps, spanning many blocks at block_size=10
+    rows = [(i * 7 % 97, (i * 13) % 29 + 1) for i in range(97)]
+    df = spark.createDataFrame(rows, "k long, v long").distinct()
+    got = global_prefix_sum(df, "k", "v", block_size=10)
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = df.withColumn("start", (F.sum("v").over(w) - F.col("v")).cast("long"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_prefix_sum_single_block_and_empty(spark):
+    df = spark.createDataFrame([(1, 5), (2, 7)], "k long, v long")
+    got = {r["k"]: r["start"] for r in global_prefix_sum(df, "k", "v", 1000).collect()}
+    assert got == {1: 0, 2: 5}
+    empty = global_prefix_sum(df.where("k < 0"), "k", "v", 10)
+    assert empty.count() == 0
+
+
+def test_mixture_upsample_replicates_skew(spark, tmp_path):
+    # big: 8 docs, small: 2 docs -> repeats = min(3, ceil(8/2)) = 3
+    rows = [(i, "t", "en", "big", 1) for i in range(8)] + [
+        (100 + i, "t", "en", "small", 1) for i in range(2)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = corpus_mixture_upsample(spark, str(tmp_path))
+    per_source = {
+        r["source"]: r["n"]
+        for r in got.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_source == {"big": 8, "small": 2 * MIX_MAX_EPOCHS}
+    epochs = {
+        r["epoch"] for r in got.where("source = 'small'").select("epoch").collect()
+    }
+    assert epochs == set(range(1, MIX_MAX_EPOCHS + 1))
+
+
+def test_stratified_sample_rule(spark, tmp_path):
+    # tiny source passes through whole; big source filtered by the
+    # exact hash rule — recompute the rule independently and compare.
+    rows = [(i, "t", "en", "big", 1) for i in range(200)] + [
+        (1000 + i, "t", "en", "tiny", 1) for i in range(SAMPLE_CAP - 1)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    kept = {r["doc_id"] for r in corpus_stratified_sample(spark, str(tmp_path)).collect()}
+    assert {1000 + i for i in range(SAMPLE_CAP - 1)} <= kept  # under-cap passthrough
+    h = phash60(F.concat(F.lit("sample:"), F.col("id").cast("string")))
+    expect_big = {
+        r["id"]
+        for r in spark.range(200).where(h % F.lit(200) < SAMPLE_CAP).collect()
+    }
+    assert {k for k in kept if k < 1000} == expect_big
+    # the cap holds in expectation: kept big-source docs ~ CAP, never > 3x
+    assert len(kept - {1000 + i for i in range(SAMPLE_CAP - 1)}) <= 3 * SAMPLE_CAP
+
+
+def test_pack_no_global_single_partition_window(spark):
+    """The packer's physical plan must not contain a window over an
+    EMPTY partitionBy (the single-partition global scan)."""
+    from ethereum_etl_airflow_spark.functions.corpus import corpus_pack_sequences
+
+    plan = (
+        corpus_pack_sequences(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_blk" in line, f"global window found: {line}"
