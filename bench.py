@@ -380,6 +380,10 @@ def main() -> None:
         "scaling_efficiency": (scaling or {}).get("efficiency"),
         "cpu_probe_speedup": (scaling or {}).get("cpu_probe_speedup"),
         "efficiency_vs_probe": (scaling or {}).get("efficiency_vs_probe"),
+        # per-attempt record: the north-rule fallback evidence ("every
+        # attempt's CPU probe < 3x") must live in the captured line
+        # itself, not only in the full file
+        "scaling_attempts": (scaling or {}).get("attempts"),
         "full": "BENCH_FULL.json",
     }
     print(json.dumps(compact, separators=(",", ":")))
