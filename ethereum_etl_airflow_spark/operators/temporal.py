@@ -43,6 +43,49 @@ from ethereum_etl_airflow_spark.queries import _t, register
 # ---------------------------------------------------------------------------
 
 
+def _asof_build_probe(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared build/probe construction: build deduplicated to one row
+    per (key, time) with deterministic ties (greatest o_orderkey wins —
+    same rule as the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    od = _t(spark, sf_dir, "orders")
+    tie = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    build = (
+        od.withColumn("rn", F.row_number().over(tie))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.struct(
+                F.col("o_orderkey").alias("last_orderkey"),
+                F.col("o_orderdate").alias("last_orderdate"),
+                F.col("o_totalprice").alias("last_totalprice"),
+            ).alias("payload"),
+        )
+    )
+    probe = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        "event_id",
+    )
+    return build, probe
+
+
+_ASOF_PAYLOAD_T = (
+    "struct<last_orderkey:bigint,last_orderdate:timestamp,last_totalprice:double>"
+)
+
+
+def _asof_output(df: DataFrame) -> DataFrame:
+    return df.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("asof.last_orderkey").alias("last_orderkey"),
+        F.col("asof.last_orderdate").alias("last_orderdate"),
+        F.col("asof.last_totalprice").alias("last_totalprice"),
+    )
+
+
 @register(
     "asof_join_last_order",
     oracle="""
@@ -70,38 +113,17 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-sort as-of join.
 
     Scale shape: ONE shuffle on the join key (the window partition),
-    then a linear window pass per key.  The build side is first
-    deduplicated to one row per (key, time) so ties are deterministic
-    (greatest o_orderkey wins — same rule both engines).  No
-    BroadcastNestedLoopJoin anywhere in the plan.
+    then a linear window pass per key.  No BroadcastNestedLoopJoin
+    anywhere in the plan.  Caveat at extreme scale: all of one key's
+    rows pass through one task — for hot keys use
+    :func:`asof_join_bucketed`, which bounds every task by the time-
+    bucket width instead.
     """
-    ev = _t(spark, sf_dir, "events")
-    od = _t(spark, sf_dir, "orders")
-
-    tie = W.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
-    build = (
-        od.withColumn("rn", F.row_number().over(tie))
-        .where(F.col("rn") == 1)
-        .select(
-            F.col("o_custkey").alias("k"),
-            F.col("o_orderdate").alias("t"),
-            F.lit(0).alias("side"),
-            F.struct(
-                F.col("o_orderkey").alias("last_orderkey"),
-                F.col("o_orderdate").alias("last_orderdate"),
-                F.col("o_totalprice").alias("last_totalprice"),
-            ).alias("payload"),
-            F.lit(None).cast("long").alias("event_id"),
-        )
-    )
-    probe = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(None)
-        .cast("struct<last_orderkey:bigint,last_orderdate:timestamp,last_totalprice:double>")
-        .alias("payload"),
-        "event_id",
+    build, probe = _asof_build_probe(spark, sf_dir)
+    b = build.select("k", "t", F.lit(0).alias("side"), "payload", F.lit(None).cast("long").alias("event_id"))
+    p = probe.select(
+        "k", "t", F.lit(1).alias("side"),
+        F.lit(None).cast(_ASOF_PAYLOAD_T).alias("payload"), "event_id",
     )
     # build rows sort BEFORE probe rows at the same timestamp (side 0
     # < 1) => the `>=` inclusive as-of semantics; last(ignorenulls)
@@ -111,17 +133,118 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t", "side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    return (
-        build.unionByName(probe)
+    return _asof_output(
+        b.unionByName(p)
         .withColumn("asof", F.last("payload", ignorenulls=True).over(w))
         .where(F.col("side") == 1)
-        .select(
-            "event_id",
-            F.col("k").alias("user_id"),
-            F.col("asof.last_orderkey").alias("last_orderkey"),
-            F.col("asof.last_orderdate").alias("last_orderdate"),
-            F.col("asof.last_totalprice").alias("last_totalprice"),
+    )
+
+
+#: time-bucket width for the skew-proof as-of join (seconds).  Pick it
+#: so one (key, bucket) of events fits a task comfortably; the carry
+#: pass is O(time-range / width) rows per key regardless of volume.
+ASOF_BUCKET_SEC = 90 * 86400
+
+
+@register(
+    "asof_join_bucketed",
+    oracle="""
+    WITH b AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id,
+           b.o_orderkey   AS last_orderkey,
+           b.o_orderdate  AS last_orderdate,
+           b.o_totalprice AS last_totalprice
+    FROM events e ASOF LEFT JOIN b
+      ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+    """,
+    doc="skew-proof as-of join: time-bucketed two-phase plan — per-"
+    "(key,bucket) local pass + bucket-grain carry window; value-"
+    "identical to asof_join_last_order, no per-key global window",
+    survey_ref="§2 J8 at hot-key scale; same oracle as "
+    "asof_join_last_order (DuckDB native ASOF JOIN)",
+)
+def asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe as-of join.
+
+    The union-sort plan funnels each key through ONE task; a key with
+    10^9 probe rows stalls the stage.  This variant decomposes by time
+    bucket:
+
+    1. per-(key, bucket) best build row — hash agg, map-side combine;
+    2. bucket-grain carry: for every bucket that has probes, the best
+       build from any EARLIER bucket — a window over bucket summaries
+       (O(active buckets) rows per key, independent of row volume);
+    3. per-(key, bucket) union-sort of [carry pseudo-build, in-bucket
+       builds, probes] — every window partition is bounded by the
+       bucket width, so a hot key parallelizes across its buckets.
+    """
+    build, probe = _asof_build_probe(spark, sf_dir)
+    def bucket(df: DataFrame) -> DataFrame:
+        epoch = F.col("t").cast("timestamp").cast("long")
+        return df.withColumn("b", F.floor(epoch / ASOF_BUCKET_SEC).cast("long"))
+
+    build = bucket(build)
+    probe = bucket(probe)
+
+    # 1. best build per (key, bucket): unique (k,t) after dedup, so the
+    # max over (t, orderkey) is the bucket's latest build
+    best = build.groupBy("k", "b").agg(
+        F.max_by("payload", F.struct(F.col("t"), F.col("payload.last_orderkey"))).alias(
+            "best"
         )
+    )
+
+    # 2. carry: per probe-bucket, the best build of strictly-earlier
+    # buckets.  Marks (side 0) sort before same-bucket builds (side 1),
+    # so a bucket's own builds never leak into its carry.
+    marks = probe.select("k", "b").distinct().select(
+        "k", "b", F.lit(0).alias("side"), F.lit(None).cast(best.schema["best"].dataType).alias("best")
+    )
+    summaries = best.select("k", "b", F.lit(1).alias("side"), "best")
+    cw = (
+        W.partitionBy("k")
+        .orderBy("b", "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carry = (
+        marks.unionByName(summaries)
+        .withColumn("carry", F.last("best", ignorenulls=True).over(cw))
+        .where(F.col("side") == 0)
+        .select("k", "b", "carry")
+    )
+
+    # 3. bounded per-(key,bucket) union-sort: carry first (t null sorts
+    # ahead), then builds, then probes at equal t (inclusive >=)
+    carry_rows = carry.where(F.col("carry").isNotNull()).select(
+        "k", "b", F.lit(None).cast("timestamp").alias("t"),
+        F.lit(-1).alias("side"), F.col("carry").alias("payload"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    build_rows = build.select(
+        "k", "b", "t", F.lit(0).alias("side"), "payload",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probe_rows = probe.select(
+        "k", "b", "t", F.lit(1).alias("side"),
+        F.lit(None).cast(_ASOF_PAYLOAD_T).alias("payload"), "event_id",
+    )
+    w = (
+        W.partitionBy("k", "b")
+        .orderBy(F.asc_nulls_first("t"), "side")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return _asof_output(
+        carry_rows.unionByName(build_rows)
+        .unionByName(probe_rows)
+        .withColumn("asof", F.last("payload", ignorenulls=True).over(w))
+        .where(F.col("side") == 1)
     )
 
 

@@ -86,7 +86,8 @@ def _session_update(key, pdfs, state: GroupState):
         yield _emit(user_id, start, end, n, tot)
         return
 
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    chunks = [p for p in pdfs if len(p)]  # empty chunks poison concat dtypes
+    batch = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
     batch = batch.sort_values("ts", kind="mergesort")
     # integer microseconds end-to-end: exact, Arrow-safe
     usecs = batch["ts"].astype("int64").to_numpy() // 1000

@@ -20,6 +20,8 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from ethereum_etl_airflow_spark.operators.temporal import (
+    ASOF_BUCKET_SEC,
+    asof_join_bucketed,
     asof_join_last_order,
     range_join_banded,
     sessionize_events,
@@ -111,6 +113,42 @@ def test_range_join_exact_boundaries(spark, tmp_path):
     _write(spark, tmp_path, "events", rows, EV_SCHEMA)
     got = {r["event_id"]: r["n_purchases_10m"] for r in range_join_banded(spark, str(tmp_path)).collect()}
     assert got == {100: 2, 200: 0}
+
+
+def test_asof_bucketed_equals_union_sort(spark, tmp_path):
+    """The skew-proof bucketed plan must be value-identical to the
+    union-sort plan, including carries across empty buckets: probes
+    several buckets after the last build must still see it."""
+    bucket_days = ASOF_BUCKET_SEC // 86400
+    orders = [
+        _order(10, 1, "2020-01-01T00:00:00", 100.0),
+        _order(11, 1, "2020-01-01T00:00:00", 200.0),  # tie in one bucket
+        _order(12, 1, "2021-06-15T12:00:00", 300.0),
+        _order(20, 2, "2019-03-03T00:00:00", 999.0),
+    ]
+    events = []
+    eid = 0
+    # probes sweeping many buckets: before, at, between, far after
+    for when in (
+        "2019-12-31T23:59:59",
+        "2020-01-01T00:00:00",
+        "2020-05-01T00:00:00",
+        "2021-06-15T12:00:00",
+        "2024-01-01T00:00:00",  # ~15+ empty buckets after the last build
+    ):
+        for user in (1, 2, 3):
+            eid += 1
+            events.append(_event(eid, when, user))
+    assert bucket_days < (365 * 4)  # data genuinely spans several buckets
+    _write(spark, tmp_path, "orders", orders, OD_SCHEMA)
+    _write(spark, tmp_path, "events", events, EV_SCHEMA)
+    a = sorted(map(tuple, asof_join_last_order(spark, str(tmp_path)).collect()))
+    b = sorted(map(tuple, asof_join_bucketed(spark, str(tmp_path)).collect()))
+    assert a == b
+    # spot-check the long carry: user 1's 2024 probe sees order 12
+    got = {r[0]: r for r in b}
+    far = [e for e in events if e[1].year == 2024 and e[2] == 1][0]
+    assert got[far[0]][2] == 12
 
 
 def test_asof_plan_has_no_nested_loop(spark, tmp_path):
