@@ -232,9 +232,9 @@ def _sig_sql() -> str:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+#: full MinHash+LSH verified-pairs query (doc_a, doc_b, n_common,
+#: n_union) — reused by graph.py's clustering oracle as its edge list
+MINHASH_PAIRS_SQL = f"""
     WITH t AS ({_SHINGLES_SQL}),
     sig AS (
         SELECT doc_id, sh, {_sig_sql()} AS sig FROM t
@@ -257,7 +257,12 @@ def _sig_sql() -> str:
     JOIN t tb ON tb.doc_id = c.doc_b
     WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
               / len(list_distinct(ta.sh || tb.sh)) >= {JACCARD_THRESHOLD}
-    """,
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_PAIRS_SQL,
     doc="MinHash(16) + LSH(4x4) near-dup candidates, Jaccard-verified",
     survey_ref="training-pipeline ops (MinHash+LSH dedup); skew note SURVEY §4",
 )
