@@ -348,6 +348,83 @@ class SnapshotTable:
                 files.append(rel)
         return files
 
+    @staticmethod
+    def _seq_range_from_footer(md) -> list[int] | None:
+        """[min,max] of the ``_seq`` column across a file's row groups,
+        from footer statistics only — None when the column is absent or
+        any row group lacks exact stats (the file then stays
+        always-scanned; a partial bound could cause a false skip)."""
+        lo = hi = None
+        for ri in range(md.num_row_groups):
+            rg = md.row_group(ri)
+            found = False
+            for ci in range(rg.num_columns):
+                col = rg.column(ci)
+                if col.path_in_schema != "_seq":
+                    continue
+                found = True
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if not found:
+                return None
+        return None if lo is None else [int(lo), int(hi)]
+
+    @classmethod
+    def plan_seq_range(
+        cls, snap: dict, lo: int | None, hi: int | None
+    ) -> list[str]:
+        """Driver-side replay planning — NO Spark job. Relative paths of
+        the data files whose recorded ``_seq`` range overlaps
+        ``[lo, hi]`` (None = unbounded side); files without an entry
+        (pre-feature commits, missing stats) are always kept — never a
+        false skip."""
+        ranges = snap.get("file_seq_ranges") or {}
+        out: list[str] = []
+        for b in sorted(snap["bucket_files"], key=int):
+            for rel in snap["bucket_files"][b]:
+                r = ranges.get(rel)
+                if r is not None and (
+                    (hi is not None and r[0] > hi)
+                    or (lo is not None and r[1] < lo)
+                ):
+                    continue
+                out.append(rel)
+        return out
+
+    def read_seq_range(
+        self,
+        lo: int | None = None,
+        hi: int | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Unfolded replay scan of the rows with ``lo <= _seq <= hi``:
+        the file set is planned on the driver from the manifest's
+        per-file ``_seq`` ranges (zero Spark jobs), then the exact
+        predicate is pushed into the parquet scan. The
+        resume-from-offset surface of the CDC table: reading "events
+        since seq X" on a 10^5-file table touches only the delta files
+        written after X. Fold semantics stay with the caller
+        (``fold_lww``), as with :meth:`read_files`."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
+        rels = self.plan_seq_range(snap, lo, hi)
+        if not rels or schema is None:
+            return self.spark.createDataFrame(
+                [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
+            )
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, rel) for rel in rels]
+        )
+        if "_seq" in df.columns:
+            if lo is not None:
+                df = df.where(F.col("_seq") >= lo)
+            if hi is not None:
+                df = df.where(F.col("_seq") <= hi)
+        return df
+
     def lookup(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
         """Point lookup: prune to the keys' buckets and — with
         ``bloom_bits`` on — to the individual delta files whose Bloom
@@ -500,21 +577,30 @@ class SnapshotTable:
                     for f in files:
                         new_bloom_entries[f] = words
 
-        # per-partition lineage: rows landed per bucket, read from the
-        # parquet footers of this commit's files (driver-local metadata
-        # reads, no Spark job) — the north rule's per-partition offset/
-        # count/snapshot lineage at bucket granularity
+        # per-partition lineage + per-file _seq skip index, both from
+        # the parquet footers of this commit's files (driver-local
+        # metadata reads, no Spark job): rows landed per bucket (the
+        # north rule's per-partition offset/count/snapshot lineage) and
+        # each file's [min,max] _seq — delta files are written per
+        # epoch, so the ranges are tight and disjoint, making
+        # replay-from-offset scans O(files in range), not O(files)
         bucket_rows: dict[str, int] = {}
+        new_seq_entries: dict[str, list[int]] = {}
         try:
             import pyarrow.parquet as pq
 
             for b, files in written.items():
-                bucket_rows[b] = sum(
-                    pq.ParquetFile(os.path.join(self.root, f)).metadata.num_rows
-                    for f in files
-                )
+                n = 0
+                for f in files:
+                    md = pq.ParquetFile(os.path.join(self.root, f)).metadata
+                    n += md.num_rows
+                    rng = self._seq_range_from_footer(md)
+                    if rng is not None:
+                        new_seq_entries[f] = rng
+                bucket_rows[b] = n
         except Exception:
             bucket_rows = {}
+            new_seq_entries = {}
 
         if full_replace:
             # whole-table rewrite (rebucketing): the new file set IS the
@@ -555,6 +641,17 @@ class SnapshotTable:
             "properties": props,
             "lineage": lineage or {},
         }
+        live = {f for fs in bucket_files.values() for f in fs}
+        seq_ranges = {
+            f: r
+            for f, r in {
+                **(prev.get("file_seq_ranges") or {}),
+                **new_seq_entries,
+            }.items()
+            if f in live
+        }
+        if seq_ranges:
+            snap["file_seq_ranges"] = seq_ranges
         if self.bloom_bits:
             # keep prev entries only for files still live AND written
             # under the same bloom_bits; stale-bits entries drop (their
@@ -564,7 +661,6 @@ class SnapshotTable:
                 if prev.get("bloom_bits") == self.bloom_bits
                 else {}
             )
-            live = {f for fs in bucket_files.values() for f in fs}
             snap["file_blooms"] = {
                 f: w
                 for f, w in {**prev_blooms, **new_bloom_entries}.items()
