@@ -241,3 +241,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(th).alias("min_tok_hash"),
         simhash.alias("simhash32"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS DOUBLE) * ((n.n_docs + 1.0) / (dfreq.df + 1.0))
+                   AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, term ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, rnk, score FROM ranked WHERE rnk <= 3
+    """,
+    doc="top-3 characteristic terms per document by tf-idf; rational "
+    "idf (N+1)/(df+1) — exactly-rounded IEEE division, so both engines "
+    "agree bit-for-bit (ln is not exactly specified and may differ in "
+    "the last ulp between libms)",
+    survey_ref="training-pipeline ops: document keyword extraction / "
+    "relevance features; skew note — the df join keys on common terms "
+    "are zipfian, AQE skew-join splits them",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf top terms: one shuffle for (doc,term) counts, a map-side-
+    combined df aggregate, a term join (AQE handles the zipfian skew),
+    and a per-doc window (docs are small — no straggler). N is joined
+    as a broadcast 1-row aggregate, not collected."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_col()).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * ((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "rnk", "score")
+    )
