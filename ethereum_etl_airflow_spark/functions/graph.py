@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ethereum_etl_airflow_spark.functions.dedup import MINHASH_PAIRS_SQL
+from ethereum_etl_airflow_spark.functions.dedup_sql import MINHASH_PAIRS_SQL
 from ethereum_etl_airflow_spark.queries import register
 
 MAX_ROUNDS = 64

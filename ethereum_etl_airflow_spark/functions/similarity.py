@@ -24,59 +24,26 @@ Scale notes (100 TB / 10^9 vectors):
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ethereum_etl_airflow_spark.functions.veclib import (  # noqa: F401
+    COS_THRESHOLD_SQ_X10000,
+    DIM,
+    N_PLANES,
+    N_QUERIES,
+    PLANES,
+    SCALE,
+    TOP_K,
+    _dot,
+    _dot_sql,
+    _IVEC_SQL,
+    _NORM_SQL,
+    _norm_sq,
+    _planes_sql,
+    int_vec,
+)
 from ethereum_etl_airflow_spark.queries import _t, register
-
-DIM = 64
-SCALE = 1_000_000
-COS_THRESHOLD_SQ_X10000 = 2025  # tau = 0.45 -> tau^2 * 10^4
-N_PLANES = 8
-TOP_K = 5
-N_QUERIES = 10
-
-
-def _plane_sign(p: int, i: int) -> int:
-    """Deterministic pseudo-random hyperplane component in {-1, +1}
-    (same md5-derived discipline as functions/hashing.phash60)."""
-    h = hashlib.md5(f"pl{p}-{i}".encode()).hexdigest()
-    return 1 if int(h[:15], 16) % 2 == 1 else -1
-
-
-PLANES = [[_plane_sign(p, i) for i in range(DIM)] for p in range(N_PLANES)]
-def _planes_sql() -> str:
-    rows = ", ".join("[" + ", ".join(str(s) for s in plane) + "]" for plane in PLANES)
-    return f"[{rows}]"
-
-
-
-
-
-def int_vec(emb=None):
-    """float32 array -> exact scaled int64 array."""
-    emb = F.col("embedding") if emb is None else emb
-    return F.transform(emb, lambda x: F.floor(x.cast("double") * SCALE).cast("long"))
-
-
-def _norm_sq(iv):
-    return F.aggregate(iv, F.lit(0).cast("long"), lambda acc, x: acc + x * x)
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
-
-
-_IVEC_SQL = f"list_transform(embedding, x -> floor(x::DOUBLE * {SCALE})::BIGINT)"
-_NORM_SQL = "list_sum(list_transform(iv, x -> x * x))::BIGINT"
-
-
-def _dot_sql(a: str, b: str) -> str:
-    return f"list_sum(list_transform(generate_series(1, {DIM}), i -> {a}[i] * {b}[i]))::BIGINT"
 
 
 #: exact all-pairs block decomposition: each unordered block pair is one

@@ -1402,6 +1402,7 @@ from ethereum_etl_airflow_spark.functions import text as _text  # noqa: E402,F40
 from ethereum_etl_airflow_spark.functions import corpus as _corpus  # noqa: E402,F401
 from ethereum_etl_airflow_spark.operators import temporal as _temporal  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import graph as _graph  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import ivf as _ivf  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import stats as _stats  # noqa: E402,F401
 from ethereum_etl_airflow_spark.operators import token_rollup as _token_rollup  # noqa: E402,F401
 from ethereum_etl_airflow_spark.streaming import sessions as _sessions  # noqa: E402,F401
