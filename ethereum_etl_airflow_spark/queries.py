@@ -1401,6 +1401,7 @@ from ethereum_etl_airflow_spark.functions import similarity as _similarity  # no
 from ethereum_etl_airflow_spark.functions import text as _text  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import corpus as _corpus  # noqa: E402,F401
 from ethereum_etl_airflow_spark.operators import temporal as _temporal  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import bpe as _bpe  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import graph as _graph  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import ivf as _ivf  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import stats as _stats  # noqa: E402,F401
