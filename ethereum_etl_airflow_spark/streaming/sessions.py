@@ -100,14 +100,18 @@ def _session_update(key, pdfs, state: GroupState):
     new_flag = np.ones(len(usecs), dtype=np.int64)
     new_flag[1:] = (np.diff(usecs) > gap_us).astype(np.int64)
 
-    sess_id = np.cumsum(new_flag)  # 1, 2, 3, ... per intra-batch session
-    df = pd.DataFrame({"sid": sess_id, "us": usecs, "val": vals})
-    agg = df.groupby("sid", sort=True).agg(
-        s=("us", "min"), e=("us", "max"), n=("us", "size"), v=("val", "sum")
-    )
+    # pure-numpy segment aggregation (events are time-sorted, so each
+    # session is a contiguous run): a pandas groupby + iterrows here
+    # costs ~50us per session — at 10^5 sessions/batch that dominated
+    # the whole micro-batch
+    bounds = np.flatnonzero(new_flag)
+    s_arr = usecs[bounds]
+    e_arr = usecs[np.append(bounds[1:] - 1, len(usecs) - 1)]
+    n_arr = np.diff(np.append(bounds, len(usecs)))
+    v_arr = np.add.reduceat(vals, bounds)
     sessions = [
-        (int(r["s"]), int(r["e"]), int(r["n"]), float(r["v"]))
-        for _, r in agg.iterrows()
+        (int(s), int(e), int(n_), float(v))
+        for s, e, n_, v in zip(s_arr, e_arr, n_arr, v_arr)
     ]
     if state.exists:
         start, end, n, tot = state.get
@@ -135,8 +139,22 @@ def _session_update(key, pdfs, state: GroupState):
     # timeout opportunity instead
     wm = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(max(end // 1000 + SESSION_GAP_SEC * 1000, wm + 1))
-    for s, e, cn, cv in closed:
-        yield _emit(user_id, s, e, cn, cv)
+    if closed:
+        # ONE frame for the whole group's closed sessions — a per-
+        # session single-row DataFrame was the other 10^5-scale cost
+        yield pd.DataFrame(
+            {
+                "user_id": np.full(len(closed), user_id, dtype=np.int64),
+                "session_start": pd.to_datetime(
+                    np.array([c[0] for c in closed], dtype="int64"), unit="us"
+                ),
+                "session_end": pd.to_datetime(
+                    np.array([c[1] for c in closed], dtype="int64"), unit="us"
+                ),
+                "n_events": np.array([c[2] for c in closed], dtype=np.int64),
+                "total_value": np.array([c[3] for c in closed], dtype=np.float64),
+            }
+        )
 
 
 def sessionize_stream(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
