@@ -85,16 +85,14 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
     cur = e.localCheckpoint()
     prev_sig = None
     for _ in range(max_rounds):
-        cur = _star_round(cur).localCheckpoint()
+        # lazy checkpoint + signature in ONE job per round: the agg
+        # action below materializes the checkpoint (truncating lineage
+        # for the next round) while computing the convergence signature
+        cur = _star_round(cur).localCheckpoint(eager=False)
         sig = tuple(
             cur.agg(
                 F.count("*"),
