@@ -259,3 +259,46 @@ def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("repeats").cast("int"))))
         .select("doc_id", "source", "epoch")
     )
+
+
+@register(
+    "corpus_hash_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE
+                 WHEN {phash60_sql('doc_id::VARCHAR')} % 100 < 80 THEN 'train'
+                 WHEN {phash60_sql('doc_id::VARCHAR')} % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               n_chars
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM s GROUP BY split
+    """,
+    doc="deterministic 80/10/10 train/val/test assignment by portable "
+    "content-independent key hash; counts verified per split",
+    survey_ref="training-pipeline ops: reproducible dataset splits — "
+    "hash-of-key assignment survives corpus growth (a doc never "
+    "changes split when new docs arrive), unlike rand() or row-number "
+    "splits",
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment is a pure narrow map (no shuffle until the
+    audit aggregation); the same phash60 discipline as every other
+    portable hash, so DuckDB reproduces the assignment bit-for-bit.
+    At 100 TB the real pipeline writes `partitionBy(split)` with this
+    same column; the registered query audits the per-split totals."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = phash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

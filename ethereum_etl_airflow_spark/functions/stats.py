@@ -181,3 +181,66 @@ def exact_group_quantiles(
 def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return exact_group_quantiles(ev, "event_type", "value", QUANTILES)
+
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ), t AS (
+        SELECT COUNT(*) AS n_keys, SUM(cnt) AS total, MAX(cnt) AS max_cnt
+        FROM c
+    ), ranked AS (
+        SELECT user_id, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS rnk
+        FROM c
+    )
+    SELECT r.rnk, r.user_id, r.cnt,
+           r.cnt::DOUBLE / t.total AS share,
+           t.total::DOUBLE / t.n_keys AS mean_cnt,
+           t.max_cnt::DOUBLE / (t.total::DOUBLE / t.n_keys) AS skew_ratio
+    FROM ranked r CROSS JOIN t WHERE r.rnk <= 10
+    """,
+    doc="top-10 heavy-hitter keys with share-of-total and max/mean "
+    "skew ratio — the pre-join diagnostic that decides whether a key "
+    "needs salting",
+    survey_ref="SURVEY §4 skew handling, operationalized: the engine's "
+    "salting/AQE decisions start from this profile",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side-combined count per key, a 1-row broadcast total,
+    and a distributed top-10 via orderBy+limit (TakeOrdered — per-
+    partition heaps, never a global sort or single-partition window
+    over the full key domain); ranks are then assigned by a window
+    over only the surviving 10 rows. All shares divide exact ints ->
+    IEEE doubles, identical in both engines."""
+    from pyspark.sql import Window as W
+
+    c = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = c.orderBy(F.desc("cnt"), F.asc("user_id")).limit(10)
+    w = W.orderBy(F.desc("cnt"), F.asc("user_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "rnk",
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+            (F.col("total").cast("double") / F.col("n_keys")).alias("mean_cnt"),
+            (
+                F.col("max_cnt").cast("double")
+                / (F.col("total").cast("double") / F.col("n_keys"))
+            ).alias("skew_ratio"),
+        )
+    )
