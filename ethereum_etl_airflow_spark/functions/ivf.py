@@ -110,13 +110,18 @@ def _cent_scores(iv, cents: list[tuple[int, list[int]]]):
     return F.array(*structs)
 
 
-def assign_ivf(spark: SparkSession, vecs: DataFrame) -> tuple[DataFrame, list]:
-    """(vec_id, iv, nsq, cluster) after seeds -> one Lloyd step; also
-    returns the summed centroids [(cid, [int components])]."""
+def assign_ivf(
+    spark: SparkSession, vecs: DataFrame, id_col: str = "vec_id"
+) -> tuple[DataFrame, list]:
+    """(id, iv, nsq, cluster) after seeds -> one Lloyd step; also
+    returns the summed centroids [(cid, [int components])]. Seeds are
+    the ``K_IVF`` lowest ids (any orderable id type)."""
     n = vecs.select(
-        "vec_id", "iv", _norm_sq(F.col("iv")).alias("nsq")
+        id_col, "iv", _norm_sq(F.col("iv")).alias("nsq")
     )
-    seed_rows = n.orderBy("vec_id").limit(K_IVF).collect()
+    seed_rows = n.orderBy(id_col).limit(K_IVF).collect()
+    if not seed_rows:
+        raise ValueError("cannot train an IVF quantizer on an empty input")
     seeds = [(i, list(r["iv"])) for i, r in enumerate(seed_rows)]
     a1 = n.withColumn("cluster", _argmax_cluster(F.col("iv"), seeds))
     # exact integer component sums per cluster (decimal-safe at scale)
