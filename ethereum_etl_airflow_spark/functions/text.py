@@ -81,9 +81,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality_score",
-    oracle="""
+#: full quality-score derivation — the text_quality_score oracle,
+#: reused as a subquery by the percentile-filter oracle below
+_QUALITY_SQL = """
     WITH t AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS toks,
                len(string_split(text, ' ')) AS n_tok
@@ -101,7 +101,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             + CASE WHEN n_stop::DOUBLE / n_tok BETWEEN 0.01 AND 0.5 THEN 30 ELSE 0 END
             + CASE WHEN n_short::DOUBLE / n_tok < 0.3 THEN 30 ELSE 0 END) AS quality_score
     FROM f
-    """,
+    """
+
+
+@register(
+    "text_quality_score",
+    oracle=_QUALITY_SQL,
     doc="quality scoring: length / stopword / short-token heuristics (C4-style filters)",
     survey_ref="training-pipeline ops; reference verify-stage analogue",
 )
@@ -306,4 +311,51 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "rnk", "score")
+    )
+
+
+@register(
+    "quality_filter_by_percentile",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.source, q.doc_id, q.quality_score
+        FROM ({_QUALITY_SQL}) q JOIN documents d USING (doc_id)
+    ), r AS (
+        SELECT source, doc_id, quality_score,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality_score) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM s
+    ), th AS (
+        SELECT source, quality_score AS p10
+        FROM r WHERE rn = GREATEST(CAST(CEIL(0.10 * n) AS BIGINT), 1)
+    )
+    SELECT s.doc_id, s.source, s.quality_score, th.p10
+    FROM s JOIN th USING (source)
+    WHERE s.quality_score >= th.p10
+    """,
+    doc="per-source p10 quality floor: keep documents at or above the "
+    "exact 10th-percentile score of their source — composition of the "
+    "quality scorer with the distributed exact-quantile operator",
+    survey_ref="training-pipeline ops: percentile-based corpus "
+    "filtering (the C4/FineWeb pattern of per-domain adaptive "
+    "thresholds instead of one global cutoff)",
+)
+def quality_filter_by_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholds come from exact_group_quantiles (deterministic
+    bucket selection, no per-source sort straggler) and join back as
+    a broadcast — two passes over the scored corpus, no window over
+    full sources. Lazy import: registration modules never import each
+    other at module top level (see veclib.py)."""
+    from ethereum_etl_airflow_spark.functions.stats import exact_group_quantiles
+
+    scored = text_quality_score(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    qs = scored.join(src, "doc_id").select("doc_id", "source", "quality_score")
+    th = exact_group_quantiles(qs, "source", "quality_score", (0.10,)).select(
+        "source", F.col("value").alias("p10")
+    )
+    return (
+        qs.join(F.broadcast(th), "source")
+        .where(F.col("quality_score") >= F.col("p10"))
+        .select("doc_id", "source", "quality_score", "p10")
     )
