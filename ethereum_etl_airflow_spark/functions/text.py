@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ethereum_etl_airflow_spark.functions.fingerprint import simhash_expr
 from ethereum_etl_airflow_spark.functions.hashing import phash60, phash60_sql
 from ethereum_etl_airflow_spark.queries import _t, register
 
@@ -216,30 +217,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = tokens_col()
     th = F.transform(toks, lambda x: phash60(x))
-
-    # SimHash in ONE pass: a 32-slot vote-counter array folds over the
-    # token-hash array (each token's md5 evaluated exactly once — a
-    # per-bit formulation would re-evaluate the hash column per bit,
-    # 32x the work, since higher-order-function lambdas don't share
-    # common subexpressions).
-    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(32)])
-    votes = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0), 32),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(
-                powers,
-                lambda p: F.when(h.bitwiseAND(p) != 0, 1).otherwise(-1),
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    simhash = F.aggregate(
-        F.zip_with(votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # SimHash in ONE pass (fused vote fold — functions/fingerprint.py).
+    simhash = simhash_expr(th, 32)
     return d.select(
         "doc_id",
         phash60(F.array_join(F.slice(toks, 1, 3), " ")).alias("prefix_fp"),

@@ -374,3 +374,55 @@ def range_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time window: per-user trailing-1h aggregates on every
+# event row (a RANGE frame, not a ROWS frame — the frame is defined by
+# time distance, so bursts and gaps are handled correctly).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_window_stats",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           COUNT(*) OVER w AS n_events_1h,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sum_value_1h
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    doc="per-user trailing-1h rolling count/sum on every event "
+    "(event-time RANGE frame; exact decimal sum)",
+    survey_ref="§2.6 W1-W3 window family + §2.10 event-time "
+    "semantics; the batch twin of streaming/windows.py sliding "
+    "windows",
+)
+def rolling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window features (the classic velocity/abuse signal
+    and a standard training-feature shape). ONE shuffle on user_id;
+    Spark's window evaluator maintains RANGE frames by sliding two
+    pointers with add/remove aggregation, so each partition is a
+    single ordered pass, not O(rows x frame). Frames defined by the
+    integer-second epoch are timezone-free (session tz pinned UTC;
+    DuckDB ``epoch`` is UTC by construction). Ties at equal epoch
+    belong to the same frame on both engines — RANGE frames are
+    value-based, so no ordering nondeterminism leaks into results."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(-3599, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_events_1h"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_value_1h"),
+    )
