@@ -32,6 +32,16 @@ Measurements:
    minute to minute), so the A/B replays alternate LO/HI and the best
    warm-batch throughput per level is used (steal noise only ever
    slows a run, so best-of-N approaches true capability).
+   *Probe-gated attempts*: a full pinned A/B attempt costs ~4 minutes,
+   long enough for a quiet window to slam shut mid-attempt, so before
+   each attempt a ~3 s pure-numpy parallel-scaling gate probe checks
+   whether the host is currently delivering its cores (LO- vs
+   HI-worker throughput ratio); congested windows are skipped with a
+   short sleep instead of burning the budget on a doomed measurement.
+   Every gate reading is recorded (``gate_probes``) and at least one
+   full attempt ALWAYS runs before the budget expires — if no quiet
+   window ever opens, that attempt's in-JVM CPU probe documents the
+   congestion (the north-rule fallback evidence), never silence.
 
 4. **Bucketed ingest** — the same replay from a feed pre-partitioned
    by the table's bucket function (key-partitioned Kafka topic shape):
@@ -50,9 +60,10 @@ Env knobs:
   SPARK_GRAFT_SCALE_TRIALS  A/B trials/level  (default 3)
   SPARK_GRAFT_SCALING       "0" skips scaling
   SPARK_GRAFT_HEADLINE      "0" skips headline queries
-  SPARK_GRAFT_SCALE_ATTEMPTS  congestion retries of the scaling block (default 3)
+  SPARK_GRAFT_SCALE_ATTEMPTS  congestion retries of the scaling block (default 2)
   SPARK_GRAFT_SCALE_BUDGET_SEC  retry time budget (default 1500)
   SPARK_GRAFT_SCALE_TARGET_EFF  stop retrying at this efficiency (default 0.75)
+  SPARK_GRAFT_SCALE_GATE    min gate-probe speedup to start an attempt (default 2.7)
   SPARK_GRAFT_BENCH_DIR     work dir          (default /dev/shm or $TMPDIR)
 """
 
@@ -80,8 +91,15 @@ DO_MAIN = os.environ.get("SPARK_GRAFT_MAIN", "1") != "0"
 #: congestion retry: re-measure scaling in fresh windows until the
 #: efficiency bar is met, up to this many attempts / seconds
 SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "2"))
-SCALE_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "700"))
+SCALE_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_SEC", "1500"))
 SCALE_TARGET_EFF = float(os.environ.get("SPARK_GRAFT_SCALE_TARGET_EFF", "0.75"))
+#: minimum gate-probe parallel speedup (ideal = HI/LO = 4.0) before a
+#: full attempt is worth its ~4 minutes; below it the host is visibly
+#: congested and the attempt would only record steal noise
+SCALE_GATE = float(os.environ.get("SPARK_GRAFT_SCALE_GATE", "2.7"))
+#: rough wall cost of one full A/B attempt (JVM startups + replays +
+#: probes), used only to reserve time for the guaranteed final attempt
+ATTEMPT_EST_SEC = 90.0 + 130.0 * SCALE_TRIALS
 N_BATCHES = 4
 
 
@@ -115,7 +133,14 @@ def scale_trial_subprocess(cpus: int, feed_dir: str, table_root: str, app: str) 
     set before exec (inherited by the new JVM), so the whole process
     tree — executor threads, GC, parquet writers, shuffle IO — really
     runs on exactly `cpus` CPUs. A shared-JVM local[N] run would let
-    auxiliary threads spill onto idle cores and flatter small N."""
+    auxiliary threads spill onto idle cores and flatter small N.
+
+    A quiet trial finishes in 30-90 s; under heavy host steal the same
+    replay crawls for 10+ minutes and once burned an entire scaling
+    budget on one doomed attempt. The tight timeout (default 360 s,
+    SPARK_GRAFT_TRIAL_TIMEOUT) kills such trials — the caller records
+    the abort and goes back to window-hunting instead of measuring
+    steal noise."""
     import subprocess
 
     def pin():
@@ -124,13 +149,17 @@ def scale_trial_subprocess(cpus: int, feed_dir: str, table_root: str, app: str) 
         except OSError:
             pass
 
-    res = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), feed_dir, table_root, app],
-        capture_output=True,
-        text=True,
-        preexec_fn=pin,
-        timeout=1200,
-    )
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scale-worker", str(cpus), feed_dir, table_root, app],
+            capture_output=True,
+            text=True,
+            preexec_fn=pin,
+            timeout=float(os.environ.get("SPARK_GRAFT_TRIAL_TIMEOUT", "360")),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] scale worker cpus={cpus} timed out (host steal)", file=sys.stderr)
+        return {"warm_events_per_sec": 0.0, "probe_sec": None, "timed_out": True}
     for line in reversed(res.stdout.strip().splitlines()):
         try:
             return json.loads(line)
@@ -167,6 +196,58 @@ def run_headline_queries(spark) -> dict[str, float]:
             print(f"[bench] query {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
     return timings
+
+
+def _gate_worker(cpu: int, units: int, barrier) -> None:
+    """One pinned single-CPU worker: `units` rounds of in-cache int64
+    LCG mixing (pure ALU, no memory pressure, no GIL contention —
+    numpy releases the GIL and each worker is its own process)."""
+    try:
+        os.sched_setaffinity(0, {cpu})
+    except OSError:
+        pass
+    import numpy as np
+
+    a = np.arange(65536, dtype=np.int64)
+    barrier.wait()  # start compute simultaneously across workers
+    for _ in range(units):
+        a = a * np.int64(6364136223846793005) + np.int64(1442695040888963407)
+    # keep `a` live so the loop can't be elided
+    if int(a[0]) == 42:  # pragma: no cover
+        print("", end="")
+
+
+def gate_speedup(lo: int, hi: int, units: int = 16000) -> float:
+    """~3 s pure-Python/numpy parallel-scaling probe: total throughput
+    of `hi` pinned single-CPU workers vs `lo` pinned workers, each
+    doing the same fixed work (~1.2 s of ALU per worker). On an idle
+    host every worker owns its core, walls match, and the ratio
+    approaches hi/lo; under steal the hi run degrades first. A start
+    barrier excludes fork stagger from the timed region. No JVM
+    startup — cheap enough to run before every attempt AND between
+    sleeps while hunting a quiet window."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+
+    def run(k: int) -> float:
+        barrier = ctx.Barrier(k + 1)
+        procs = [
+            ctx.Process(target=_gate_worker, args=(i, units, barrier)) for i in range(k)
+        ]
+        for p in procs:
+            p.start()
+        barrier.wait()  # all workers pinned + warmed; timing starts now
+        t0 = time.time()
+        for p in procs:
+            p.join()
+        return time.time() - t0
+
+    wall_lo = run(lo)
+    wall_hi = run(hi)
+    if wall_lo <= 0 or wall_hi <= 0:
+        return 0.0
+    return (hi / wall_hi) / (lo / wall_lo)
 
 
 def cpu_probe(spark, cpus: int) -> float:
@@ -275,10 +356,33 @@ def main() -> None:
             # the efficiency bar is met or the time budget runs out;
             # every attempt is recorded for honesty, the best is kept.
             attempts = []
+            gate_log: list[float] = []
             budget_end = time.time() + SCALE_BUDGET_SEC
-            for attempt in range(SCALE_ATTEMPTS):
+
+            def n_completed() -> int:
+                return sum(1 for a in attempts if not a.get("aborted_congested"))
+
+            while n_completed() < SCALE_ATTEMPTS:
+                remaining = budget_end - time.time()
+                # reserve room so ONE completed attempt always runs
+                # before the budget closes, even if the gate never opens
+                last_chance = remaining <= ATTEMPT_EST_SEC + 60
+                if last_chance and n_completed():
+                    break
+                if not last_chance:
+                    g = round(gate_speedup(SCALE_LO, SCALE_HI), 2)
+                    gate_log.append(g)
+                    if g < SCALE_GATE:
+                        print(
+                            f"[bench] gate={g} < {SCALE_GATE}: window congested, waiting",
+                            file=sys.stderr,
+                        )
+                        time.sleep(min(45.0, max(5.0, remaining - ATTEMPT_EST_SEC - 60)))
+                        continue
+                attempt = len(attempts)
                 best = {SCALE_LO: 0.0, SCALE_HI: 0.0}
                 probes = {SCALE_LO: [], SCALE_HI: []}
+                aborted = False
                 for trial in range(SCALE_TRIALS):
                     for cpus in (SCALE_LO, SCALE_HI):  # alternate to ride out host noise
                         r = scale_trial_subprocess(
@@ -287,10 +391,28 @@ def main() -> None:
                             os.path.join(work, f"t_{cpus}_{attempt}"),
                             f"s{cpus}_{attempt}_{trial}",
                         )
+                        if r.get("timed_out"):
+                            aborted = True
+                            break
                         if r.get("probe_sec") is not None:
                             probes[cpus].append(r["probe_sec"])
                         tp = r.get("warm_events_per_sec") or r.get("events_per_sec") or 0.0
                         best[cpus] = max(best[cpus], tp)
+                    if aborted:
+                        break
+                    # re-gate between trials: quiet windows here are
+                    # shorter than a full attempt; if the window slams
+                    # shut, stop burning budget and resume hunting
+                    if trial + 1 < SCALE_TRIALS:
+                        g_mid = round(gate_speedup(SCALE_LO, SCALE_HI), 2)
+                        gate_log.append(g_mid)
+                        if g_mid < 2.0:
+                            print(
+                                f"[bench] mid-attempt gate={g_mid}: window closed, aborting attempt",
+                                file=sys.stderr,
+                            )
+                            aborted = True
+                            break
                 ratio = SCALE_HI / SCALE_LO
                 eff = (
                     round(best[SCALE_HI] / (ratio * best[SCALE_LO]), 3)
@@ -322,6 +444,7 @@ def main() -> None:
                         "cpu_probe_speedup": probe_speedup,
                         "efficiency_vs_probe": eff_vs_probe,
                         "trials_per_level": SCALE_TRIALS,
+                        **({"aborted_congested": True} if aborted else {}),
                     }
                 )
                 if eff is not None and eff >= SCALE_TARGET_EFF:
@@ -337,6 +460,8 @@ def main() -> None:
                 }
                 for a in attempts
             ]
+            scaling["gate_probes"] = gate_log
+            scaling["gate_threshold"] = SCALE_GATE
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -384,6 +509,9 @@ def main() -> None:
         # attempt's CPU probe < 3x") must live in the captured line
         # itself, not only in the full file
         "scaling_attempts": (scaling or {}).get("attempts"),
+        # gate readings: how many windows were checked and what the
+        # host offered in each (documents WHY attempts are few/noisy)
+        "gate_probes": (scaling or {}).get("gate_probes"),
         "full": "BENCH_FULL.json",
     }
     print(json.dumps(compact, separators=(",", ":")))
