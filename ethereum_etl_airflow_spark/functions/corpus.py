@@ -302,3 +302,64 @@ def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+#: sliding context-window length / stride (tokens) for overlap chunking
+CHUNK_LEN = 32
+CHUNK_STRIDE = 24
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+        SELECT doc_id, toks, len(toks) AS n_tok,
+               unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS INT) AS chunk_id,
+           list_slice(toks, CAST(start + 1 AS INT),
+                      LEAST(CAST(start + {CHUNK_LEN} AS INT), n_tok)) AS chunk_tokens,
+           LEAST(CAST({CHUNK_LEN} AS BIGINT), n_tok - start) AS chunk_len,
+           n_tok
+    FROM e
+    """,
+    doc=f"overlapping sliding token windows per document (len {CHUNK_LEN}, "
+    f"stride {CHUNK_STRIDE}) — the RAG/long-context chunking shape",
+    survey_ref="training-pipeline ops: complements corpus_pack_sequences "
+    "(which concatenates ACROSS documents); this op windows WITHIN each "
+    "document with overlap so no boundary context is lost",
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking is embarrassingly parallel: tokenize (narrow), explode
+    a per-doc start-offset sequence (narrow — Spark's generate+explode
+    never shuffles), slice each window out of the token array. Zero
+    shuffles end-to-end at any corpus size; output row count is
+    sum(ceil(n_tok/stride)) and each output partition derives from one
+    input partition, so the 100 TB plan is a single scan-project
+    stage. Spark ``sequence(0, n-1, s)`` (inclusive stop) and DuckDB
+    ``range(0, n, s)`` (exclusive stop) generate identical start sets;
+    ``F.slice`` takes a LENGTH and silently truncates at the array end,
+    matching the oracle's explicit LEAST() end index."""
+    from ethereum_etl_airflow_spark.functions.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", tokens_col().alias("toks"))
+    e = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").cast("long").alias("n_tok"),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.size("toks").cast("long") - 1, F.lit(CHUNK_STRIDE).cast("long"))
+        ).alias("start"),
+    )
+    return e.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+        F.slice(F.col("toks"), F.col("start").cast("int") + 1, CHUNK_LEN).alias("chunk_tokens"),
+        F.least(F.lit(CHUNK_LEN).cast("long"), F.col("n_tok") - F.col("start")).alias("chunk_len"),
+        "n_tok",
+    )

@@ -103,3 +103,58 @@ def test_pack_no_global_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_blk" in line, f"global window found: {line}"
+
+
+def test_chunk_overlap_covers_every_token(spark, tmp_path):
+    from ethereum_etl_airflow_spark.functions.corpus import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        corpus_chunk_overlap,
+    )
+
+    # doc lengths around the boundary cases: shorter than one window,
+    # exactly one window, one token past a stride multiple
+    lens = [1, CHUNK_STRIDE, CHUNK_LEN, CHUNK_LEN + 1, 3 * CHUNK_STRIDE + 1, 100]
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(n)), "en", "s", n)
+        for i, n in enumerate(lens)
+    ]
+    _write_docs(spark, tmp_path, rows)
+    out = corpus_chunk_overlap(spark, str(tmp_path)).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, n in enumerate(lens):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        # every token index appears in at least one chunk, in order
+        covered = []
+        for c in chunks:
+            start = c["chunk_id"] * CHUNK_STRIDE
+            assert c["chunk_tokens"] == [f"w{i}_{j}" for j in range(start, min(start + CHUNK_LEN, n))]
+            assert c["chunk_len"] == len(c["chunk_tokens"])
+            covered.extend(range(start, min(start + CHUNK_LEN, n)))
+        assert set(covered) == set(range(n))
+        # consecutive chunks overlap by LEN - STRIDE (except the tail)
+        assert len(chunks) == (n + CHUNK_STRIDE - 1) // CHUNK_STRIDE
+
+
+def test_incremental_dedup_and_redact(spark, tmp_path):
+    from ethereum_etl_airflow_spark.functions.redact import (
+        dedup_incremental_newdocs,
+        text_redact_pii,
+    )
+
+    rows = [
+        (0, "alpha beta", "en", "s", 10),   # incoming, dup of existing 1
+        (1, "alpha beta", "en", "s", 10),   # existing
+        (5, "fresh text", "en", "s", 10),   # incoming, new
+        (2, "other words", "en", "s", 11),  # existing
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {r["doc_id"] for r in dedup_incremental_newdocs(spark, str(tmp_path)).collect()}
+    assert got == {5}
+
+    red = {r["doc_id"]: r for r in text_redact_pii(spark, str(tmp_path)).collect()}
+    assert red[5]["n_email"] == 1 and red[5]["n_phone"] == 1
+    assert "<EMAIL>" in red[5]["redacted"] and "<PHONE>" in red[5]["redacted"]
+    assert "@" not in red[5]["redacted"]
