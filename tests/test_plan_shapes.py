@@ -1,0 +1,107 @@
+"""Physical-plan regression tests: lock the plan properties that make
+the scale-critical queries viable at 100 TB.
+
+`scripts/plan_audit.py` documents these properties as an artifact;
+this suite ASSERTS the load-bearing subset so a refactor that quietly
+adds a shuffle, un-pushes a filter, widens a scan, or drops a
+pipeline into per-row Python fails CI instead of failing the cluster.
+
+Bounds are ceilings, not exact counts: AQE may legally REMOVE an
+exchange at runtime, never add one, so `<=` is the stable invariant.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from ethereum_etl_airflow_spark.queries import get_queries
+
+SF = "/root/testdata/sf0.001"
+
+#: query -> ceilings / requirements on the unexecuted formatted plan.
+#: max_exchanges: shuffles (each is a cluster-wide data move);
+#: max_scans: parquet scans (ledger queries must stay single-scan);
+#: max_read_cols: widest ReadSchema (column-pruning evidence);
+#: need_pushed: at least one scan with non-empty PushedFilters;
+#: max_python: Arrow/Python nodes (0 = stays in JVM codegen).
+EXPECTATIONS = {
+    # narrow map-only pipelines: zero shuffles at ANY corpus size
+    "corpus_chunk_overlap": dict(max_exchanges=0, max_python=0, max_scans=1),
+    "text_redact_pii": dict(max_exchanges=0, max_python=0, max_scans=1),
+    "text_token_stats": dict(max_exchanges=0, max_python=0, max_scans=1),
+    "text_quality_score": dict(max_exchanges=0, max_python=0, max_scans=1),
+    "scalar_functions_bundle": dict(max_exchanges=0, max_python=0, need_pushed=True),
+    # folded ledgers: ONE scan of the fact table + one agg exchange
+    # (the multi-branch UNION ALL rewrite must not reappear)
+    "balances_ledger": dict(max_scans=1, max_exchanges=1, need_pushed=True, max_python=0),
+    "pricing_summary": dict(max_scans=1, max_exchanges=1, need_pushed=True, max_read_cols=6),
+    # single-shuffle aggregations
+    "dedup_exact": dict(max_exchanges=1, max_python=0, max_read_cols=2),
+    "cdc_lww_fold": dict(max_exchanges=1, max_python=0),
+    "top_k_accounts": dict(max_exchanges=1, max_python=0, max_read_cols=2),
+    # semi join: dim side broadcast, no fact shuffle
+    "semi_join_in_subquery": dict(max_exchanges=0, need_pushed=True, max_python=0),
+    # selector predicate must reach the parquet reader
+    "bucket_pruning_filter": dict(need_pushed=True, max_read_cols=1),
+    "parse_spec_log_decode": dict(need_pushed=True, max_python=0),
+    # LSH dedup: the band join is the ONLY shuffle
+    "dedup_minhash_lsh": dict(max_exchanges=1),
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = get_queries()
+    out = {}
+    for name in EXPECTATIONS:
+        df = qs[name](spark, SF)
+        out[name] = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    return out
+
+
+def _audit(plan: str) -> dict:
+    return {
+        "scans": len(set(re.findall(r"\((\d+)\) Scan parquet", plan))),
+        "pushed": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
+        "exchanges": len(set(re.findall(r"\((\d+)\) Exchange", plan))),
+        "python": len(
+            set(
+                re.findall(
+                    r"\((\d+)\) (?:MapInPandas|FlatMapGroupsInPandas|"
+                    r"FlatMapCoGroupsInPandas|ArrowEvalPython|BatchEvalPython)",
+                    plan,
+                )
+            )
+        ),
+        "read_cols": max(
+            (len(m.split(",")) for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)),
+            default=0,
+        ),
+    }
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTATIONS))
+def test_plan_shape(name, plans):
+    want = EXPECTATIONS[name]
+    got = _audit(plans[name])
+    if "max_exchanges" in want:
+        assert got["exchanges"] <= want["max_exchanges"], (
+            f"{name}: {got['exchanges']} shuffles > {want['max_exchanges']} allowed\n"
+            + plans[name][:2000]
+        )
+    if "max_scans" in want:
+        assert got["scans"] <= want["max_scans"], f"{name}: scan fan-out {got['scans']}"
+    if "max_python" in want:
+        assert got["python"] <= want["max_python"], (
+            f"{name}: {got['python']} Python nodes crept into a JVM-only plan"
+        )
+    if "max_read_cols" in want:
+        assert got["read_cols"] <= want["max_read_cols"], (
+            f"{name}: reads {got['read_cols']} cols — column pruning regressed"
+        )
+    if want.get("need_pushed"):
+        assert got["pushed"] >= 1, f"{name}: no PushedFilters reached the scan"
