@@ -370,11 +370,24 @@ def main() -> None:
                 if last_chance and n_completed():
                     break
                 if not last_chance:
+                    # open only in the physically-plausible band: the
+                    # ideal ratio is HI/LO = 4.0, so readings above
+                    # ~4.3 mean the LO leg itself was steal-crushed (a
+                    # storm DISTORTS the ratio both ways — one storm
+                    # night read 6.65 and poisoned a full attempt).
+                    # Require two consecutive in-band readings so a
+                    # single lucky 3 s sample can't open the window.
                     g = round(gate_speedup(SCALE_LO, SCALE_HI), 2)
                     gate_log.append(g)
-                    if g < SCALE_GATE:
+                    in_band = SCALE_GATE <= g <= 4.3
+                    if in_band:
+                        g2 = round(gate_speedup(SCALE_LO, SCALE_HI), 2)
+                        gate_log.append(g2)
+                        in_band = SCALE_GATE <= g2 <= 4.3
+                    if not in_band:
                         print(
-                            f"[bench] gate={g} < {SCALE_GATE}: window congested, waiting",
+                            f"[bench] gate={gate_log[-1]} outside [{SCALE_GATE}, 4.3]: "
+                            "window congested/distorted, waiting",
                             file=sys.stderr,
                         )
                         time.sleep(min(45.0, max(5.0, remaining - ATTEMPT_EST_SEC - 60)))
