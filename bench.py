@@ -170,9 +170,20 @@ def scale_trial_subprocess(cpus: int, feed_dir: str, table_root: str, app: str) 
 
 
 def scale_worker_main(cpus: int, feed_dir: str, table_root: str, app: str) -> None:
+    """Pinned worker: CPU probe BEFORE and AFTER the replay, reporting
+    the SLOWER of the two as `probe_sec`. Host steal flips minute to
+    minute, so a single post-replay probe can read a quiet instant
+    while the replay itself was crushed (observed: probe 3.36x beside
+    efficiency 0.268) — the bracketing max only credits the host with
+    delivery it sustained across the whole worker lifetime, keeping
+    the recorded probe an honest bound on the replay's window."""
     spark = make_session(cpus)
+    probe_pre = cpu_probe(spark, cpus)
     r = replay(spark, feed_dir, table_root, app)
-    r["probe_sec"] = cpu_probe(spark, cpus)
+    probe_post = cpu_probe(spark, cpus)
+    r["probe_sec_pre"] = probe_pre
+    r["probe_sec_post"] = probe_post
+    r["probe_sec"] = max(probe_pre, probe_post)
     spark.stop()
     print(json.dumps(r))
 
