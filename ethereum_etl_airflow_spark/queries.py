@@ -1409,6 +1409,7 @@ from ethereum_etl_airflow_spark.operators import token_rollup as _token_rollup  
 from ethereum_etl_airflow_spark.streaming import sessions as _sessions  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import decontam as _decontam  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import redact as _redact  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import drift as _drift  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
