@@ -79,9 +79,16 @@ def apply_changes(
     verify: bool = True,
     fold_batch: bool = False,
     feed_bucketed: bool = False,
+    properties: dict | None = None,
 ) -> dict | None:
     """Apply one change batch; returns lineage dict, or None if the
-    epoch was already committed (fenced replay — exactly-once)."""
+    epoch was already committed (fenced replay — exactly-once).
+
+    ``properties`` (optional) merges extra snapshot properties into the
+    SAME atomic commit as the data — the hook table statistics ride on
+    (operators/table_stats.py): a crash after the commit is fenced on
+    replay, so a property update paired with its batch is applied
+    exactly once."""
     t0 = time.time()
     if epoch <= table.last_epoch(app_id):
         return None
@@ -177,6 +184,7 @@ def apply_changes(
         new_schema=new_schema,
         lineage=None,  # filled below once observations resolve
         align_buckets=align,
+        properties=properties,
     )
 
     wall = time.time() - t0
