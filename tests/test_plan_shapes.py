@@ -48,6 +48,15 @@ EXPECTATIONS = {
     "parse_spec_log_decode": dict(need_pushed=True, max_python=0),
     # LSH dedup: the band join is the ONLY shuffle
     "dedup_minhash_lsh": dict(max_exchanges=1),
+    # Z-order keys: a pure projection — zero shuffles, JVM-only
+    "zorder_layout_key": dict(max_exchanges=0, max_python=0, max_scans=1, max_read_cols=3),
+    # HLL: the register agg (1 exchange, <=64 rows cross the wire), the
+    # 1-row register fold (1), and the exact-distinct audit's 2-phase
+    # distinct (2) — every exchange is bounded by m or by |keys|
+    "approx_distinct_hll": dict(max_exchanges=4, max_python=0, max_read_cols=1),
+    # CMS: exact key agg + d*w counter agg; counters must come back
+    # broadcast, never shuffle the keyed side again
+    "sketch_cms_heavy_hitters": dict(max_exchanges=3, max_python=0, max_read_cols=1),
 }
 
 
