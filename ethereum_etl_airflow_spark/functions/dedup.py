@@ -295,3 +295,45 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(n_common.cast("double") / n_union >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", n_common.alias("n_common"), n_union.alias("n_union"))
     )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({MINHASH_PAIRS_SQL}),
+    tagged AS (
+        SELECT LEAST(da.source, db.source) AS source_x,
+               GREATEST(da.source, db.source) AS source_y
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY source_x, source_y
+    """,
+    doc="cross-source near-duplicate matrix: verified MinHash+LSH dup "
+    "pairs grouped by unordered source pair — which corpus sources "
+    "mirror each other (the pre-training mixture diagnostic that "
+    "decides whether to drop a whole source vs dedup doc-by-doc)",
+    survey_ref="training-pipeline ops: composition of dedup_minhash_lsh "
+    "with source metadata; extends the reference's per-table verify "
+    "counts to cross-source content overlap",
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reuses the verified-pairs plan (signatures folded in one pass,
+    4 band keys/doc, exact shingle recheck), then two broadcast-size
+    joins to the (doc_id, source) projection and one tiny agg. Source
+    names are ordered per pair (least/greatest) so the matrix is
+    upper-triangular regardless of doc_id ordering."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    da, db = src.alias("da"), src.alias("db")
+    tagged = (
+        pairs.join(da, F.col("da.doc_id") == F.col("doc_a"))
+        .join(db, F.col("db.doc_id") == F.col("doc_b"))
+        .select(
+            F.least(F.col("da.source"), F.col("db.source")).alias("source_x"),
+            F.greatest(F.col("da.source"), F.col("db.source")).alias("source_y"),
+        )
+    )
+    return tagged.groupBy("source_x", "source_y").agg(F.count("*").alias("n_pairs"))

@@ -46,6 +46,7 @@ class ChangeLogTailer:
         verify: bool = True,
         post_batch_checks: list | None = None,
         feed_bucketed: bool = False,
+        track_ndv: str | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -61,6 +62,10 @@ class ChangeLogTailer:
         # feed pre-partitioned by the table's bucket function (e.g. a
         # key-partitioned Kafka topic) -> shuffle-free apply
         self.feed_bucketed = feed_bucketed
+        # opt-in incremental NDV statistic (operators/table_stats.py):
+        # column name to track; costs one extra narrow agg per batch,
+        # so it's off on the bench/throughput path by default
+        self.track_ndv = track_ndv
         self.applied: list[dict] = []
 
     def _run_post_checks(self, lineage: dict) -> None:
@@ -106,6 +111,13 @@ class ChangeLogTailer:
             if batch_id < start or (end is not None and batch_id > end):
                 continue
             batch_df = self.spark.read.parquet(path)
+            props = None
+            if self.track_ndv:
+                from ethereum_etl_airflow_spark.operators import table_stats
+
+                props = table_stats.props_for_batch(
+                    self.table, batch_df, self.track_ndv
+                )
             lineage = apply_changes(
                 self.table,
                 batch_df,
@@ -113,8 +125,15 @@ class ChangeLogTailer:
                 epoch=batch_id,
                 verify=self.verify,
                 feed_bucketed=self.feed_bucketed,
+                properties=props,
             )
             if lineage is not None:
+                if self.track_ndv:
+                    from ethereum_etl_airflow_spark.operators import table_stats
+
+                    lineage["ndv_estimate"] = round(
+                        table_stats.distinct_estimate(self.table, self.track_ndv), 1
+                    )
                 self._run_post_checks(lineage)
                 self._record_lineage(lineage)
                 results.append(lineage)

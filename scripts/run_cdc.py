@@ -56,6 +56,13 @@ def main() -> int:
     ap.add_argument("--follow", action="store_true", help="stream continuously (no AvailableNow)")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument("--checks", action="store_true", help="run invariant checks per batch")
+    ap.add_argument(
+        "--track-ndv",
+        default=None,
+        metavar="COL",
+        help="maintain an incremental HLL distinct-key statistic for COL "
+        "in snapshot properties (replay mode; operators/table_stats.py)",
+    )
     args = ap.parse_args()
 
     from ethereum_etl_airflow_spark.session import get_spark
@@ -79,6 +86,7 @@ def main() -> int:
         app_id=args.app_id,
         num_buckets=args.buckets,
         post_batch_checks=checks,
+        track_ndv=args.track_ndv,
     )
 
     if args.mode in ("compact", "expire-snapshots", "expire-tombstones", "rollup"):

@@ -59,3 +59,56 @@ def test_fenced_replay_does_not_drift_stat(spark, tmp_path):
     # batch 1's registers again reproduces the stored set exactly
     remerged = json.loads(props_for_batch(table, batch, "doc_id")["stats:hll:doc_id"])
     assert remerged == before
+
+
+def test_tailer_track_ndv_and_resume(spark, tmp_path):
+    """The opt-in tailer flag maintains the stat through a crash-resume:
+    a second tailer over the same feed re-applies nothing and ends with
+    the same registers a single clean run produces."""
+    from ethereum_etl_airflow_spark.streaming.tailer import ChangeLogTailer
+    from ethereum_etl_airflow_spark.sources.feed import write_feed
+
+    feed = str(tmp_path / "feed")
+    write_feed(spark, CFG, feed)
+    root = str(tmp_path / "t")
+
+    t1 = ChangeLogTailer(spark, feed, root, app_id="ndv", verify=False, track_ndv="doc_id")
+    lineage = t1.replay_batches(end=1)  # "crash" after two batches
+    assert all("ndv_estimate" in li for li in lineage)
+    mid = stored_registers(t1.table, "doc_id")
+    assert any(mid)
+
+    t2 = ChangeLogTailer(spark, feed, root, app_id="ndv", verify=False, track_ndv="doc_id")
+    t2.replay_batches()  # resumes: batches 0-1 fenced, batch 2 applied
+    final = stored_registers(t2.table, "doc_id")
+
+    clean = ChangeLogTailer(
+        spark, feed, str(tmp_path / "t_clean"), app_id="ndv", verify=False,
+        track_ndv="doc_id",
+    )
+    clean.replay_batches()
+    assert final == stored_registers(clean.table, "doc_id")
+
+
+def test_register_merge_algebra():
+    """Associative + commutative + idempotent over random register sets
+    (the properties that make the stat crash-safe and shard-mergeable).
+    Pure driver-side — no Spark."""
+    import random
+
+    from ethereum_etl_airflow_spark.functions.hll import HLL_B, estimate, merge_registers
+
+    rng = random.Random(42)
+
+    def regs():
+        return [rng.randint(0, HLL_B + 1) for _ in range(HLL_M)]
+
+    for _ in range(50):
+        a, b, c = regs(), regs(), regs()
+        assert merge_registers(a, b) == merge_registers(b, a)
+        assert merge_registers(merge_registers(a, b), c) == merge_registers(
+            a, merge_registers(b, c)
+        )
+        assert merge_registers(a, a) == a
+        # merging can only grow the estimate (monotone sketch)
+        assert estimate(merge_registers(a, b)) >= max(estimate(a), estimate(b))
