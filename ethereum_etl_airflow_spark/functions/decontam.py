@@ -215,7 +215,10 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs within hamming 3 (pigeonhole over disjoint bands) — and the
     exact hamming check on the carried signatures filters them, no
     second lookup join. DISTINCT collapses pairs colliding in
-    multiple bands."""
+    multiple bands — applied AFTER the hamming filter, so the
+    dedup shuffle carries only surviving near-dup pairs, not the
+    full band-collision candidate set (filter∘distinct ==
+    distinct∘filter here; the cheap order wins at scale)."""
     d = _t(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     sig = simhash_expr(F.transform(toks, lambda x: phash60(x)), SIMHASH_BITS)
@@ -244,9 +247,10 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.sh").alias("sh_a"),
             F.col("b.sh").alias("sh_b"),
         )
-        .distinct()
     )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.where(ham <= HAMMING_MAX).select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    return (
+        cand.where(ham <= HAMMING_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .distinct()
     )

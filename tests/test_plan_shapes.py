@@ -57,6 +57,9 @@ EXPECTATIONS = {
     # CMS: exact key agg + d*w counter agg; counters must come back
     # broadcast, never shuffle the keyed side again
     "sketch_cms_heavy_hitters": dict(max_exchanges=3, max_python=0, max_read_cols=1),
+    # URL dedup: canonicalization is a narrow JVM map; the group-by on
+    # the canonical string is the ONLY shuffle
+    "url_canonical_dedup": dict(max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2),
 }
 
 
