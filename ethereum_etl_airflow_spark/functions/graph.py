@@ -91,7 +91,11 @@ def connected_components(
     for _ in range(max_rounds):
         # lazy checkpoint + signature in ONE job per round: the agg
         # action below materializes the checkpoint (truncating lineage
-        # for the next round) while computing the convergence signature
+        # for the next round) while computing the convergence signature.
+        # Measured alternative (sf0.1 A/B): fusing TWO star rounds per
+        # materialization is ~30% SLOWER — near-dup graphs converge in
+        # 1-2 rounds (clusters are shallow), so the fused second round
+        # is pure extra compute, not saved scheduling.
         cur = _star_round(cur).localCheckpoint(eager=False)
         sig = tuple(
             cur.agg(
