@@ -1413,6 +1413,7 @@ from ethereum_etl_airflow_spark.functions import drift as _drift  # noqa: E402,F
 from ethereum_etl_airflow_spark.functions import sketch as _sketch  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import layout as _layout  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import url as _url  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import pipeline as _pipeline  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

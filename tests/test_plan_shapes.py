@@ -60,6 +60,10 @@ EXPECTATIONS = {
     # URL dedup: canonicalization is a narrow JVM map; the group-by on
     # the canonical string is the ONLY shuffle
     "url_canonical_dedup": dict(max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2),
+    # end-to-end corpus build: fingerprint dedup window + per-split
+    # block window + final audit agg; filters/split stay fused narrow,
+    # the packing offsets come back as a broadcast, never a shuffle
+    "corpus_build_pipeline": dict(max_exchanges=4, max_python=0, max_scans=1, max_read_cols=3),
 }
 
 
