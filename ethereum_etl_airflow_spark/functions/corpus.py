@@ -363,3 +363,268 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(CHUNK_LEN).cast("long"), F.col("n_tok") - F.col("start")).alias("chunk_len"),
         "n_tok",
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary tokenizer: words -> token ids via a learned top-V vocab
+# (the "tokens payload" encode path — produces the (doc_id, tokens,
+# n_tok) shape the CDC target table ingests).
+# ---------------------------------------------------------------------------
+
+#: vocabulary size for corpus_tokenize_vocab; id V = UNK
+TOKENIZE_V = 50
+
+
+@register(
+    "corpus_tokenize_vocab",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS INT) AS tid
+        FROM (
+            SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT {TOKENIZE_V}
+        )
+    ), words AS (
+        SELECT doc_id, i AS pos, (string_split(text, ' '))[i] AS token
+        FROM documents,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+    )
+    SELECT w.doc_id,
+           list(COALESCE(v.tid, {TOKENIZE_V}) ORDER BY w.pos) AS tokens,
+           CAST(COUNT(*) AS INT) AS n_tok
+    FROM words w LEFT JOIN vocab v USING (token)
+    GROUP BY w.doc_id
+    """,
+    doc=f"encode documents to token-id arrays with a learned top-{TOKENIZE_V} "
+    "word vocabulary (OOV -> UNK id); output shape = the CDC target "
+    "table's (doc_id, tokens, n_tok) contract",
+    survey_ref="input_hint tokens payload; corpus_vocab_topk learn step + "
+    "narrow broadcast-map encode",
+)
+def corpus_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the vocab with one hash agg + TakeOrdered, then encode with
+    a ZERO-shuffle narrow map: the vocab is bounded (V entries — a
+    driver scalar by design, like the other bounded collects), so it
+    broadcasts as a literal MAP and each doc encodes via
+    ``transform(split(text), w -> coalesce(map[w], UNK))``. No explode,
+    no regroup — at 100 TB the encode stage is a single scan-project
+    with the vocabulary riding in the closure. A join-based encode
+    (explode words -> join vocab -> re-assemble by position) would
+    shuffle every token twice for the same result."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOKENIZE_V)
+        .collect()
+    )
+    ranked = sorted(counts, key=lambda r: (-r["n"], r["token"]))
+    pairs: list = []
+    for tid, r in enumerate(ranked):
+        pairs.extend([F.lit(r["token"]), F.lit(tid)])
+    vocab_map = F.create_map(*pairs)
+    toks = F.transform(
+        F.split(F.col("text"), " "),
+        lambda w: F.coalesce(
+            F.element_at(vocab_map, w), F.lit(TOKENIZE_V)
+        ).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle: reproducible global training order as
+# (shard, position) — the data-order half of reproducible training.
+# ---------------------------------------------------------------------------
+
+#: output shards for corpus_shuffle_shards (at 100 TB: pick so one
+#: shard ~= one output file, e.g. corpus_bytes / 1 GB)
+SHUFFLE_SHARDS = 8
+
+#: epoch seed baked into the shuffle key — bump per training epoch for
+#: a fresh but replayable order
+SHUFFLE_SEED = "e0"
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assembly: group docs of similar token length
+# into fixed-token-budget batches, audit the padding waste per batch.
+# ---------------------------------------------------------------------------
+
+#: token budget per training batch
+LENBUCKET_BUDGET = 256
+
+#: deterministic shards per bucket (keeps the rank windows parallel —
+#: there are only ~10 power-of-two caps, so without sharding every
+#: same-length doc in a 100 TB corpus would funnel through one task)
+LENBUCKET_SHARDS = 16
+
+_CAP_STEPS = [8, 16, 32, 64, 128, 256, 512, 1024]
+_CAP_ELSE = 2048
+
+
+def _cap_case_sql(n_expr: str) -> str:
+    whens = " ".join(
+        f"WHEN {n_expr} <= {c} THEN {c}" for c in _CAP_STEPS
+    )
+    return f"CASE {whens} ELSE {_CAP_ELSE} END"
+
+
+def _cap_case_col(n):
+    expr = F.lit(_CAP_ELSE)
+    for c in reversed(_CAP_STEPS):
+        expr = F.when(n <= c, F.lit(c)).otherwise(expr)
+    return expr
+
+
+@register(
+    "corpus_length_buckets",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ), b AS (
+        SELECT doc_id, n_tok,
+               {_cap_case_sql("n_tok")} AS cap,
+               {phash60_sql("'lenbucket:' || CAST(doc_id AS VARCHAR)")}
+                   % {LENBUCKET_SHARDS} AS shard
+        FROM d
+    ), r AS (
+        SELECT cap, shard, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY cap, shard
+                                  ORDER BY n_tok DESC, doc_id) AS rn,
+               GREATEST(1, {LENBUCKET_BUDGET} // cap) AS rows_per_batch
+        FROM b
+    )
+    SELECT cap AS bucket_cap,
+           CAST(shard AS INT) AS shard,
+           CAST((rn - 1) // rows_per_batch AS INT) AS batch_id,
+           COUNT(*) AS n_rows,
+           SUM(n_tok) AS sum_tok,
+           cap * COUNT(*) - SUM(n_tok) AS pad_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / (cap * COUNT(*)) AS fill_frac
+    FROM r
+    GROUP BY cap, shard, (rn - 1) // rows_per_batch
+    """,
+    doc=f"length-bucketed training-batch assembly: power-of-two length "
+    f"buckets, {LENBUCKET_BUDGET}-token batch budget, per-batch padding-"
+    "waste audit (the dynamic-batching shape trainers use to cut pad "
+    "FLOPs)",
+    survey_ref="training-pipeline ops: the batch-shape dual of "
+    "corpus_pack_sequences — packing concatenates docs into windows; "
+    "length bucketing groups SIMILAR-length docs so per-batch padding "
+    "is bounded by the bucket cap",
+)
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket cap is a CASE chain (JVM codegen, no log2 floats — float
+    discipline), shard is a seeded portable hash, and the in-bucket
+    rank window partitions by (cap, shard) so batch numbering is both
+    deterministic AND parallel: caps alone are ~10 partitions (a
+    single-task funnel at 100 TB); caps x shards keeps every window
+    task bounded at corpus/160-ish rows, and scaling LENBUCKET_SHARDS
+    with the corpus keeps it flat. Everything after the window is one
+    hash agg on (cap, shard, batch)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    b = d.select(
+        "doc_id",
+        "n_tok",
+        _cap_case_col(F.col("n_tok")).alias("cap"),
+        (
+            phash60(F.concat(F.lit("lenbucket:"), F.col("doc_id").cast("string")))
+            % LENBUCKET_SHARDS
+        ).alias("shard"),
+    )
+    w = W.partitionBy("cap", "shard").orderBy(F.desc("n_tok"), "doc_id")
+    r = b.select(
+        "cap",
+        "shard",
+        "n_tok",
+        F.row_number().over(w).alias("rn"),
+        F.greatest(F.lit(1), F.expr(f"{LENBUCKET_BUDGET} div cap")).alias(
+            "rows_per_batch"
+        ),
+    )
+    return (
+        r.withColumn("batch_id", F.expr("(rn - 1) div rows_per_batch").cast("int"))
+        .groupBy(
+            F.col("cap").alias("bucket_cap"),
+            F.col("shard").cast("int").alias("shard"),
+            "batch_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+        .select(
+            "bucket_cap",
+            "shard",
+            "batch_id",
+            "n_rows",
+            "sum_tok",
+            (F.col("bucket_cap") * F.col("n_rows") - F.col("sum_tok")).alias(
+                "pad_tokens"
+            ),
+            (
+                F.col("sum_tok").cast("double")
+                / (F.col("bucket_cap") * F.col("n_rows"))
+            ).alias("fill_frac"),
+        )
+    )
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    WITH k AS (
+        SELECT doc_id,
+               {phash60_sql("'shuffle:' || '" + SHUFFLE_SEED + "' || ':' || CAST(doc_id AS VARCHAR)")} AS skey
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(skey % {SHUFFLE_SHARDS} AS INT) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY skey % {SHUFFLE_SHARDS} ORDER BY skey, doc_id
+           ) AS pos
+    FROM k
+    """,
+    doc="deterministic seeded corpus shuffle: portable-hash order key -> "
+    "shard assignment + in-shard position; same seed replays the exact "
+    "training order on any engine",
+    survey_ref="training-pipeline ops (reproducible data ordering); "
+    "corpus_hash_split's keyed-hash discipline applied to ordering",
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order shuffle that replays bit-for-bit: the order key is
+    a seeded portable hash of the doc id, the shard is key mod S, and
+    the in-shard position is a rank window PARTITIONED BY SHARD — each
+    shard sorts independently (Spark executes the window as exactly
+    repartition(shard) + in-partition sort), so no global sort, no
+    single-task bottleneck; S scales with corpus size to keep one shard
+    ~= one output file. A global ROW_NUMBER would serialize 100 TB
+    through one task; (shard, pos) carries the same information."""
+    d = _t(spark, sf_dir, "documents")
+    skey = phash60(
+        F.concat(F.lit(f"shuffle:{SHUFFLE_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    w = W.partitionBy(F.col("skey") % SHUFFLE_SHARDS).orderBy("skey", "doc_id")
+    return (
+        d.select("doc_id", skey.alias("skey"))
+        .select(
+            "doc_id",
+            (F.col("skey") % SHUFFLE_SHARDS).cast("int").alias("shard"),
+            F.row_number().over(w).alias("pos"),
+            "skey",
+        )
+        .drop("skey")
+    )

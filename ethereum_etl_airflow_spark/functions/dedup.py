@@ -37,6 +37,7 @@ from ethereum_etl_airflow_spark.functions.dedup_sql import (  # noqa: F401
     MINHASH_PAIRS_SQL,
     _SHINGLES_SQL,
     _sig_sql,
+    incremental_lsh_sql,
 )
 from ethereum_etl_airflow_spark.functions.hashing import (
     MINHASH_P,
@@ -216,31 +217,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=MINHASH_PAIRS_SQL,
-    doc="MinHash(16) + LSH(4x4) near-dup candidates, Jaccard-verified",
-    survey_ref="training-pipeline ops (MinHash+LSH dedup); skew note SURVEY §4",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup detection, the scale path for Jaccard
-    dedup: signatures are built in ONE pass over each doc's shingle
-    array (nested ``transform``/``array_min`` — no explode, no
-    shuffle); only the 4 band keys per doc enter the candidate join.
+def minhash_sig_col(sh_col="sh") -> F.Column:
+    """K-permutation MinHash signature computed in ONE fold over the
+    shingle array: a K-slot running-min array updated per shingle. The
+    shingle hash is bound to a lambda variable (via the single-element
+    transform) so its md5 evaluates exactly once per shingle — K
+    per-permutation array_min passes would re-evaluate it K times
+    (HOF lambdas don't share subexpressions). No explode, no shuffle.
     Bit-identical to the DuckDB oracle via the portable permutation
     family (functions/hashing.py)."""
-    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
-    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
-    # signature in ONE fold over the shingle array: a K-slot running-min
-    # array updated per shingle. The shingle hash is bound to a lambda
-    # variable (via the single-element transform) so its md5 evaluates
-    # exactly once per shingle — K per-permutation array_min passes
-    # would re-evaluate it K times (HOF lambdas don't share
-    # subexpressions).
     a_arr = F.array(*[F.lit(2 * i + 1).cast("long") for i in range(MINHASH_K)])
     b_arr = F.array(*[F.lit(7919 * (i + 1)).cast("long") for i in range(MINHASH_K)])
-    sig = F.aggregate(
-        F.col("sh"),
+    return F.aggregate(
+        F.col(sh_col),
         F.array_repeat(F.lit(MINHASH_P).cast("long"), MINHASH_K),
         lambda acc, s: F.element_at(
             F.transform(
@@ -254,8 +243,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ),
     )
-    sigs = sh.select("doc_id", "sh", sig.alias("sig"))
-    bands = sigs.select(
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, b, band_key) — one row per LSH band of each signature."""
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -275,6 +267,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "bk.b", "bk.band_key")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=MINHASH_PAIRS_SQL,
+    doc="MinHash(16) + LSH(4x4) near-dup candidates, Jaccard-verified",
+    survey_ref="training-pipeline ops (MinHash+LSH dedup); skew note SURVEY §4",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, the scale path for Jaccard
+    dedup: signatures are built in one shuffle-free pass per doc
+    (``minhash_sig_col``); only the 4 band keys per doc enter the
+    candidate join."""
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+    sigs = sh.select("doc_id", "sh", minhash_sig_col().alias("sig"))
+    bands = lsh_bands(sigs)
     cand = (
         bands.alias("a")
         .join(
@@ -337,3 +346,72 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tagged.groupBy("source_x", "source_y").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup probe: an incoming batch checked against the
+# already-indexed corpus (the CDC-ingest shape of near-dup dedup).
+# ---------------------------------------------------------------------------
+
+#: incoming-batch selector for the oracle query (doc_id % MOD == REM)
+INCR_BATCH_MOD = 5
+INCR_BATCH_REM = 4
+
+
+def probe_lsh_index(new_bands: DataFrame, index_bands: DataFrame) -> DataFrame:
+    """(doc_new, doc_existing) candidates — band-key equality between an
+    incoming batch's bands and a maintained corpus band index. Work is
+    O(batch bands): the corpus side is only touched through the join
+    (bucketable on band_key at scale), never rescanned or re-hashed."""
+    n, o = new_bands.alias("n"), index_bands.alias("o")
+    return (
+        n.join(
+            o,
+            (F.col("n.b") == F.col("o.b"))
+            & (F.col("n.band_key") == F.col("o.band_key")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_new"),
+            F.col("o.doc_id").alias("doc_existing"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=incremental_lsh_sql(INCR_BATCH_MOD, INCR_BATCH_REM),
+    doc="incoming batch probed against the corpus MinHash-LSH band "
+    "index: band-equality candidates across the two sides, exact "
+    "Jaccard verify — near-dup admission control at ingest",
+    survey_ref="M2 ingest path x MinHash dedup; the at-ingest variant of "
+    "dedup_minhash_lsh (index maintained, batch-only probe)",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the full pairwise LSH join is a nightly job; ingest
+    needs the INCREMENTAL form: signatures exist for the corpus (a
+    maintained band table, refreshable from the change feed like
+    vocab_rollup_incremental), so admitting a batch costs one
+    signature pass over the BATCH plus one band-key join against the
+    index — O(batch), independent of corpus size. Here both sides
+    derive from the documents table split by a deterministic doc_id
+    predicate; the probe itself is the production plan."""
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+    is_new = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    bands = lsh_bands(sh.select("doc_id", minhash_sig_col().alias("sig")))
+    cand = probe_lsh_index(bands.where(is_new), bands.where(~is_new))
+    tn, te = sh.alias("tn"), sh.alias("te")
+    n_common = F.size(F.array_intersect(F.col("tn.sh"), F.col("te.sh")))
+    n_union = F.size(F.array_distinct(F.concat(F.col("tn.sh"), F.col("te.sh"))))
+    return (
+        cand.join(tn, F.col("tn.doc_id") == F.col("doc_new"))
+        .join(te, F.col("te.doc_id") == F.col("doc_existing"))
+        .where(n_common.cast("double") / n_union >= JACCARD_THRESHOLD)
+        .select(
+            "doc_new",
+            "doc_existing",
+            n_common.alias("n_common"),
+            n_union.alias("n_union"),
+        )
+    )

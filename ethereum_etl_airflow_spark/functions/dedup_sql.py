@@ -64,3 +64,36 @@ MINHASH_PAIRS_SQL = f"""
     WHERE len(list_intersect(ta.sh, tb.sh))::DOUBLE
               / len(list_distinct(ta.sh || tb.sh)) >= {JACCARD_THRESHOLD}
     """
+
+
+def incremental_lsh_sql(batch_mod: int, batch_rem: int) -> str:
+    """Oracle for the incremental near-dup probe: docs with
+    ``doc_id % batch_mod == batch_rem`` are the incoming batch, the
+    rest are the already-indexed corpus; candidates come from band-key
+    equality across the two sides, verified by exact Jaccard."""
+    return f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, sh, {_sig_sql()} AS sig FROM t
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               array_to_string(sig[{LSH_ROWS}*b + 1 : {LSH_ROWS}*b + {LSH_ROWS}], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_existing
+        FROM bands n JOIN bands o
+          ON n.b = o.b AND n.band_key = o.band_key
+         AND n.doc_id % {batch_mod} = {batch_rem}
+         AND o.doc_id % {batch_mod} <> {batch_rem}
+    )
+    SELECT c.doc_new, c.doc_existing,
+           len(list_intersect(tn.sh, te.sh)) AS n_common,
+           len(list_distinct(tn.sh || te.sh)) AS n_union
+    FROM cand c
+    JOIN t tn ON tn.doc_id = c.doc_new
+    JOIN t te ON te.doc_id = c.doc_existing
+    WHERE len(list_intersect(tn.sh, te.sh))::DOUBLE
+              / len(list_distinct(tn.sh || te.sh)) >= {JACCARD_THRESHOLD}
+    """

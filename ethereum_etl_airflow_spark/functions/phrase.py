@@ -1,0 +1,239 @@
+"""Phrase-level statistics for the training-data pipeline: PMI-ranked
+bigram collocations (tokenizer-merge / phrase-mining candidates) and
+cross-document repeated-span detection (span-granular dedup in the
+spirit of "Deduplicating Training Data Makes Language Models Better",
+Lee et al. 2021 — word-granular here, suffix-array-free).
+
+The reference pipeline stops at table-level parsing (its parse stage
+emits decoded event rows — dags/ethereumetl_airflow/build_parse_dag.py);
+a training-corpus engine additionally needs corpus-wide phrase
+statistics to drive tokenizer construction (PMI feeds merge choice the
+same way bpe_learn_merges' pair counts do) and span-level duplicate
+removal (doc-level dedup misses boilerplate repeated INSIDE otherwise
+unique docs).
+
+Scale notes (100 TB):
+* PMI: the unigram/bigram vocabularies are bounded by vocab size (and
+  vocab², filtered by the min-count threshold), not by corpus size —
+  after the two count aggregations (both map-side-combining, uniform
+  word keys) everything downstream operates on vocab-sized data, so
+  both count joins are BROADCAST and the final top-k window runs over
+  a filtered vocab-bounded set. The corpus is scanned once, narrow.
+* span dedup: one shuffle on the span hash (60-bit md5 — uniform keys,
+  no skew) to compute document frequency, one shuffle back on the hash
+  to tag the exploded spans, one on doc_id to re-aggregate. Spans
+  travel as 60-bit hashes, not strings, so shuffle width is 8 bytes +
+  ids. At 10^10 docs this is the same plan you'd run (Lee et al. do a
+  suffix array precisely because they dedup at CHARACTER granularity;
+  word-granular span sets are join-expressible and shuffle-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ethereum_etl_airflow_spark.functions.fingerprint import ngrams_col, ngrams_sql
+from ethereum_etl_airflow_spark.functions.hashing import phash60, phash60_sql
+from ethereum_etl_airflow_spark.queries import _t, register
+
+#: a bigram must occur at least this often to be PMI-scored (rare-pair
+#: PMI explodes on singletons — standard collocation-mining floor)
+PMI_MIN_COUNT = 5
+
+#: how many top collocations the query emits
+PMI_TOP_K = 200
+
+#: repeated-span width in words
+SPAN_N = 6
+
+
+@register(
+    "token_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    big AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS u(i)
+    ),
+    uni AS (
+        SELECT unnest(w) AS word FROM toks
+    ),
+    uc AS (
+        SELECT word, COUNT(*) AS c FROM uni GROUP BY word
+    ),
+    n AS (
+        SELECT SUM(c) AS total FROM uc
+    ),
+    bc AS (
+        SELECT w1, w2, COUNT(*) AS n_pair
+        FROM big GROUP BY w1, w2
+        HAVING COUNT(*) >= {PMI_MIN_COUNT}
+    ),
+    scored AS (
+        SELECT bc.w1, bc.w2, bc.n_pair,
+               u1.c AS n_w1, u2.c AS n_w2,
+               CAST(bc.n_pair * n.total AS DOUBLE)
+                   / CAST(u1.c * u2.c AS DOUBLE) AS pmi_rate
+        FROM bc
+        JOIN uc u1 ON bc.w1 = u1.word
+        JOIN uc u2 ON bc.w2 = u2.word
+        CROSS JOIN n
+    )
+    SELECT w1, w2, n_pair, n_w1, n_w2, pmi_rate
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY pmi_rate DESC, w1, w2) AS rnk
+        FROM scored
+    ) WHERE rnk <= {PMI_TOP_K}
+    """,
+    doc="PMI-ranked adjacent-word collocations (phrase mining / "
+    f"tokenizer-merge candidates): pairs with count >= {PMI_MIN_COUNT}, "
+    f"top {PMI_TOP_K} by p(xy)/(p(x)p(y)) with deterministic tiebreak",
+    survey_ref="training-pipeline ops: collocation mining for tokenizer "
+    "construction (pairs feed BPE merge choice — cf. bpe_learn_merges); "
+    "parse-stage aggregation analogue SURVEY §2.5",
+)
+def token_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI collocations.
+
+    The PMI ratio is computed EXACTLY as ``double(n_pair * N) /
+    double(n_w1 * n_w2)`` — integer products (exact below 2^53) cast to
+    double, then one IEEE-exactly-rounded division — so Spark and the
+    DuckDB oracle agree bit-for-bit; no logarithms (PMI rank order is
+    invariant under log, so the monotone ratio form carries the same
+    information loss-free).
+
+    Plan: one corpus scan exploded twice (bigrams + unigrams), two
+    map-side-combining count aggregations, then vocab-bounded work
+    only: the unigram count table is broadcast into both joins and the
+    scalar total is a 1-row broadcast cross join. The final top-k
+    window sorts the min-count-filtered collocation set (vocab²-bounded
+    and small in practice; at extreme vocab sizes swap for the per-shard
+    rank + global min-max refinement used by corpus_shuffle_shards).
+    """
+    d = _t(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    # zip_with over the two shifted slices: slice length size-1 is 0 for
+    # 1-token docs (split never yields an empty array), so no descending-
+    # sequence guard is needed here, unlike sequence(1, n) shingling.
+    sz1 = F.size("w") - F.lit(1)
+    bigrams = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", F.lit(1), sz1),
+                F.slice("w", F.lit(2), sz1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    unigrams = d.select(F.explode("w").alias("word"))
+    uc = unigrams.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = uc.agg(F.sum("c").alias("total"))
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= PMI_MIN_COUNT)
+    )
+    scored = (
+        bc.join(F.broadcast(uc.withColumnRenamed("word", "w1")), "w1")
+        .withColumnRenamed("c", "n_w1")
+        .join(
+            F.broadcast(
+                uc.withColumnRenamed("word", "w2").withColumnRenamed("c", "n_w2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (F.col("n_pair") * F.col("total")).cast("double")
+                / (F.col("n_w1") * F.col("n_w2")).cast("double")
+            ).alias("pmi_rate"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("pmi_rate").desc(), "w1", "w2")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= PMI_TOP_K)
+        .drop("rnk")
+    )
+
+
+@register(
+    "dedup_span_ngrams",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               {ngrams_sql("string_split(text, ' ')", SPAN_N)} AS grams
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, len(grams) AS n_grams,
+               {phash60_sql("unnest(grams)")} AS h
+        FROM sh
+    ),
+    df AS (
+        SELECT h, COUNT(*) AS n_docs FROM ex GROUP BY h
+        HAVING COUNT(*) >= 2
+    )
+    SELECT ex.doc_id,
+           MAX(ex.n_grams) AS n_grams,
+           COUNT(*) AS n_dup_spans,
+           CAST(COUNT(*) AS DOUBLE) / MAX(ex.n_grams) AS dup_frac
+    FROM ex JOIN df USING (h)
+    GROUP BY ex.doc_id
+    """,
+    doc=f"cross-document repeated-span detection: {SPAN_N}-word spans "
+    "occurring in >= 2 distinct documents, reported per document with "
+    "the duplicated fraction (span-granular dedup, Lee et al. 2021 "
+    "word-granular variant)",
+    survey_ref="training-pipeline ops: span-level dedup — doc-level "
+    "dedup (dedup_exact/dedup_minhash_lsh) misses boilerplate repeated "
+    "inside otherwise-unique docs",
+)
+def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spans repeated across documents.
+
+    Shingles are distinct-per-doc (w-shingling), so the per-hash row
+    count IS the document frequency — no COUNT(DISTINCT doc_id)
+    needed. Spans travel the shuffles as 60-bit portable hashes
+    (8 bytes), never as strings; collisions, if any, are identical in
+    the oracle (same hash family), so the comparison stays exact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id",
+        ngrams_col(F.split("text", " "), SPAN_N).alias("grams"),
+    ).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("g"),
+    ).select("doc_id", "n_grams", phash60(F.col("g")).alias("h"))
+    df = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("h")
+    )
+    return (
+        ex.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            (F.count(F.lit(1)).cast("double") / F.max("n_grams")).alias(
+                "dup_frac"
+            ),
+        )
+    )

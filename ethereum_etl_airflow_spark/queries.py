@@ -1414,6 +1414,8 @@ from ethereum_etl_airflow_spark.functions import sketch as _sketch  # noqa: E402
 from ethereum_etl_airflow_spark.functions import layout as _layout  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import url as _url  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import pipeline as _pipeline  # noqa: E402,F401
+from ethereum_etl_airflow_spark.operators import quarantine as _quarantine  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import phrase as _phrase  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -47,11 +47,20 @@ class ChangeLogTailer:
         post_batch_checks: list | None = None,
         feed_bucketed: bool = False,
         track_ndv: str | None = None,
+        quarantine_root: str | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
         kwargs = {"num_buckets": num_buckets} if num_buckets else {}
         self.table = SnapshotTable(spark, table_root, **kwargs)
+        # opt-in dead-letter quarantine (operators/quarantine.py): rows
+        # violating the change contract land in this side table with a
+        # reason instead of failing or poisoning the batch
+        self.quarantine = (
+            SnapshotTable(spark, quarantine_root, **kwargs)
+            if quarantine_root
+            else None
+        )
         self.app_id = app_id
         self.lineage_dir = lineage_dir or os.path.join(table_root, "_lineage")
         self.verify = verify
@@ -67,6 +76,37 @@ class ChangeLogTailer:
         # so it's off on the bench/throughput path by default
         self.track_ndv = track_ndv
         self.applied: list[dict] = []
+
+    def _apply(self, batch_df, app_id: str, epoch: int, props=None):
+        """One batch through the CDC core, dead-lettering if enabled."""
+        if self.quarantine is not None:
+            from ethereum_etl_airflow_spark.operators.quarantine import (
+                apply_changes_quarantined,
+            )
+
+            combined = apply_changes_quarantined(
+                self.table,
+                self.quarantine,
+                batch_df,
+                app_id,
+                epoch,
+                verify=self.verify,
+                feed_bucketed=self.feed_bucketed,
+                properties=props,
+            )
+            lineage = combined["main"]
+            if lineage is not None:
+                lineage["quarantined_events"] = combined["quarantined_events"]
+            return lineage
+        return apply_changes(
+            self.table,
+            batch_df,
+            app_id,
+            epoch=epoch,
+            verify=self.verify,
+            feed_bucketed=self.feed_bucketed,
+            properties=props,
+        )
 
     def _run_post_checks(self, lineage: dict) -> None:
         if not self.post_batch_checks:
@@ -118,15 +158,7 @@ class ChangeLogTailer:
                 props = table_stats.props_for_batch(
                     self.table, batch_df, self.track_ndv
                 )
-            lineage = apply_changes(
-                self.table,
-                batch_df,
-                self.app_id,
-                epoch=batch_id,
-                verify=self.verify,
-                feed_bucketed=self.feed_bucketed,
-                properties=props,
-            )
+            lineage = self._apply(batch_df, self.app_id, batch_id, props)
             if lineage is not None:
                 if self.track_ndv:
                     from ethereum_etl_airflow_spark.operators import table_stats
@@ -184,14 +216,7 @@ class ChangeLogTailer:
         stream_app = f"{self.app_id}:stream"
 
         def _apply(batch_df, epoch_id: int):
-            lineage = apply_changes(
-                self.table,
-                batch_df,
-                stream_app,
-                epoch=epoch_id,
-                verify=self.verify,
-                feed_bucketed=self.feed_bucketed,
-            )
+            lineage = self._apply(batch_df, stream_app, epoch_id)
             if lineage is not None:
                 self._run_post_checks(lineage)
                 self._record_lineage(lineage)

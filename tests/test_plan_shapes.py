@@ -64,6 +64,16 @@ EXPECTATIONS = {
     # block window + final audit agg; filters/split stay fused narrow,
     # the packing offsets come back as a broadcast, never a shuffle
     "corpus_build_pipeline": dict(max_exchanges=4, max_python=0, max_scans=1, max_read_cols=3),
+    # vocab encode: the learn step collects a BOUNDED top-V vocab at
+    # build time; the returned encode plan is a pure narrow map with
+    # the vocab as a literal MAP — zero shuffles at any corpus size
+    "corpus_tokenize_vocab": dict(max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2),
+    # seeded shuffle: one exchange (the shard repartition for the
+    # per-shard rank window) — never a global sort
+    "corpus_shuffle_shards": dict(max_exchanges=1, max_python=0, max_scans=1, max_read_cols=1),
+    # quarantine split: validation is a JVM CASE chain over ONE scan;
+    # the only exchange is the per-reason count agg
+    "cdc_quarantine_split": dict(max_exchanges=2, max_python=0, max_scans=1),
 }
 
 
