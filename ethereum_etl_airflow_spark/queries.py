@@ -1416,6 +1416,7 @@ from ethereum_etl_airflow_spark.functions import url as _url  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import pipeline as _pipeline  # noqa: E402,F401
 from ethereum_etl_airflow_spark.operators import quarantine as _quarantine  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import phrase as _phrase  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import quantize as _quantize  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

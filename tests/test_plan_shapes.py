@@ -74,6 +74,14 @@ EXPECTATIONS = {
     # quarantine split: validation is a JVM CASE chain over ONE scan;
     # the only exchange is the per-reason count agg
     "cdc_quarantine_split": dict(max_exchanges=2, max_python=0, max_scans=1),
+    # int8 quantize: pure per-row map — zero shuffles at any scale
+    "embedding_quantize_int8": dict(max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2),
+    # PQ encode: the codebook is literal (bounded collect at build
+    # time); the encode plan itself is a zero-shuffle scan-project
+    "ann_pq_encode": dict(max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2),
+    # k-means iteration: assignment narrow, recompute = ONE shuffle of
+    # K x (DIM+1) map-side-combined partials (never an N*DIM explode)
+    "kmeans_assign_iter": dict(max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2),
 }
 
 
