@@ -80,13 +80,20 @@ def connected_components(
     ``edges`` is an undirected edge list; self-loops are ignored.
     Every node appearing in an edge gets a row.
     """
+    # checkpoint the edge set FIRST and derive both the node set and the
+    # iteration start from the materialized copy: the upstream pair
+    # pipeline (e.g. the full MinHash-LSH join for dedup_cluster_
+    # canonical) is often the most expensive part of the whole job, and
+    # deriving `nodes` from the lazy frame would silently re-run it a
+    # second time when the final labels join evaluates.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
-    cur = e.localCheckpoint()
+    cur = e
     prev_sig = None
     for _ in range(max_rounds):
         # lazy checkpoint + signature in ONE job per round: the agg

@@ -237,3 +237,62 @@ def dedup_span_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH ex AS (
+        SELECT doc_id, h, COUNT(*) AS n_occ
+        FROM (
+            SELECT doc_id,
+                   {phash60_sql("unnest(" + ngrams_sql("string_split(text, ' ')", SPAN_N) + ")")} AS h
+            FROM documents
+        )
+        GROUP BY doc_id, h
+    ), first_seen AS (
+        SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h
+    )
+    SELECT ex.doc_id,
+           COUNT(*) AS n_distinct_grams,
+           COUNT(*) FILTER (WHERE f.first_doc = ex.doc_id) AS n_novel,
+           (COUNT(*) FILTER (WHERE f.first_doc = ex.doc_id))::DOUBLE
+               / COUNT(*) AS novelty_frac
+    FROM ex JOIN first_seen f USING (h)
+    GROUP BY ex.doc_id
+    """,
+    doc=f"per-document {SPAN_N}-gram novelty vs all earlier docs (by "
+    "doc_id ingest order): the corpus-growth diminishing-returns curve "
+    "— novelty_frac -> 0 signals the crawl is re-reading itself",
+    survey_ref="training-pipeline ops: the longitudinal dual of "
+    "dedup_span_ngrams — span dedup finds WHAT repeats, novelty tracks "
+    "WHEN additions stop contributing new spans",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A gram is NOVEL in the doc with the minimum doc_id containing it
+    (ingest order = doc_id in the fixtures; swap in the feed seq at
+    ingest). Plan: distinct-per-doc grams (w-shingle discipline), one
+    shuffle on the 8-byte gram hash for the min-doc table, the same
+    shuffle key for the join back, one regroup on doc_id. Spans travel
+    as 60-bit hashes; collisions (if any) are identical in the oracle
+    (same hash family), so the comparison stays exact."""
+    d = _t(spark, sf_dir, "documents")
+    ex = (
+        d.select(
+            "doc_id",
+            F.explode(ngrams_col(F.split("text", " "), SPAN_N)).alias("g"),
+        )
+        .select("doc_id", phash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    first_seen = ex.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.count_if(F.col("first_doc") == F.col("doc_id"))
+    return (
+        ex.join(first_seen, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
+        )
+    )

@@ -27,7 +27,9 @@ from pyspark.sql import Window as W
 class QuerySpec:
     name: str
     spark_fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    #: ANSI SQL string, or a zero-arg callable returning it (lazy —
+    #: for audits composing other registered oracles; see get_oracles)
+    oracle: str | Callable[[], str] | None
     doc: str = ""
     survey_ref: str = ""
 
@@ -1417,6 +1419,7 @@ from ethereum_etl_airflow_spark.functions import pipeline as _pipeline  # noqa: 
 from ethereum_etl_airflow_spark.operators import quarantine as _quarantine  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import phrase as _phrase  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import quantize as _quantize  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import annaudit as _annaudit  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1424,4 +1427,13 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def get_oracles() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}
+    # a spec.oracle may be a zero-arg callable producing the SQL: audit
+    # queries that COMPOSE other registered oracles must defer the
+    # registry lookup until every registration module has finished
+    # importing (a Spark worker can import a registration module first,
+    # making the registry transiently incomplete mid-import-cycle)
+    return {
+        name: (spec.oracle() if callable(spec.oracle) else spec.oracle)
+        for name, spec in REGISTRY.items()
+        if spec.oracle
+    }

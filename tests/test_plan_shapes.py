@@ -82,6 +82,9 @@ EXPECTATIONS = {
     # k-means iteration: assignment narrow, recompute = ONE shuffle of
     # K x (DIM+1) map-side-combined partials (never an N*DIM explode)
     "kmeans_assign_iter": dict(max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2),
+    # novelty curve: grams travel as 60-bit hashes, all-JVM; shuffles =
+    # gram-hash agg + join-back + doc regroup (and their reused scans)
+    "text_ngram_novelty": dict(max_python=0, max_read_cols=2, max_exchanges=4),
 }
 
 
