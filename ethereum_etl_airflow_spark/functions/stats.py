@@ -244,3 +244,85 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("skew_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable log2-histogram quantile sketch
+# --------------------------------------------------------------------------
+
+#: quantiles estimated by the sketch query
+SKETCH_QUANTILES = (0.5, 0.95, 0.99)
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(length(bin(CAST(floor(value * 1000) AS BIGINT)))
+                    AS INT) AS bucket_bits,
+               count(*) AS n
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT bucket_bits,
+               sum(n) OVER (ORDER BY bucket_bits) AS cum,
+               sum(n) OVER () AS total
+        FROM h
+    ),
+    qs(q) AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE))
+    SELECT qs.q,
+           CAST(min(c.bucket_bits) AS INT) AS bucket_bits,
+           CAST(power(2.0, min(c.bucket_bits)) / 1000 AS DOUBLE) AS est_upper
+    FROM qs JOIN c ON c.cum >= CAST(ceil(qs.q * c.total) AS BIGINT)
+    GROUP BY qs.q
+    """,
+    doc="mergeable log2-histogram quantile sketch: <=64 fixed buckets "
+    "(integer bit-length of milli-value), one map-side-combined agg, "
+    "quantile = first bucket reaching rank ceil(q*n); factor-2 error "
+    "bound by construction",
+    survey_ref="one-pass mergeable alternative to events_exact_quantiles "
+    "(BigQuery APPROX_QUANTILES parity) — the per-batch streaming "
+    "telemetry shape: histograms merge across batches by cell-wise add",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One histogram aggregation (<=64 cells, map-side combine does the
+    real work), then cumsum + rank-pick over the TINY histogram — the
+    windows run on <=64 rows, never on data. The bucket function
+    (bit length of the integer milli-value) is ln-free and portable
+    bit-for-bit, so the oracle reproduces the sketch exactly."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    hist = (
+        ev.select(
+            F.length(F.bin(F.floor(F.col("value") * 1000).cast("long")))
+            .cast("int")
+            .alias("bucket_bits")
+        )
+        .groupBy("bucket_bits")
+        .agg(F.count("*").alias("n"))
+    )
+    # single-partition windows over the <=64-row histogram (bounded by
+    # construction — the "No Partition Defined" case is the design)
+    cum = hist.select(
+        "bucket_bits",
+        F.sum("n").over(W.orderBy("bucket_bits")).alias("cum"),
+        F.sum("n").over(W.orderBy(F.lit(1)).rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )).alias("total"),
+    )
+    qs = spark.createDataFrame([(q,) for q in SKETCH_QUANTILES], "q double")
+    return (
+        qs.crossJoin(cum)
+        .where(F.col("cum") >= F.ceil(F.col("q") * F.col("total")).cast("long"))
+        .groupBy("q")
+        .agg(F.min("bucket_bits").cast("int").alias("bucket_bits"))
+        .select(
+            "q",
+            "bucket_bits",
+            (F.pow(F.lit(2.0), F.col("bucket_bits")) / 1000)
+            .cast("double")
+            .alias("est_upper"),
+        )
+    )

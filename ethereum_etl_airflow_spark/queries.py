@@ -1420,6 +1420,10 @@ from ethereum_etl_airflow_spark.operators import quarantine as _quarantine  # no
 from ethereum_etl_airflow_spark.functions import phrase as _phrase  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import quantize as _quantize  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import annaudit as _annaudit  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import paragraphs as _paragraphs  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import webfilter as _webfilter  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import funnel as _funnel  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import olap as _olap  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

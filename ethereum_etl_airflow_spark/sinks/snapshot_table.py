@@ -45,8 +45,10 @@ already collapses each file's rows before the exchange.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
+import re
 import time
 import uuid
 
@@ -125,6 +127,9 @@ class SnapshotTable:
             raise ValueError("bloom_bits must be a multiple of 64")
         self._meta = os.path.join(root, "_meta")
         self._data = os.path.join(root, "data")
+        #: the ref this instance reads from and commits to. "main" is
+        #: the legacy VERSION pointer; use with_branch() for others.
+        self.branch = "main"
         # an existing table's bucket fan-out is owned by its manifest
         # (it may have been rebucketed since creation) — the constructor
         # argument only seeds brand-new tables
@@ -139,11 +144,8 @@ class SnapshotTable:
         return os.path.exists(os.path.join(self._meta, VERSION_FILE))
 
     def current_version(self) -> int:
-        try:
-            with open(os.path.join(self._meta, VERSION_FILE)) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return -1
+        """Head version of THIS instance's ref (``self.branch``)."""
+        return self.ref_version(self.branch)
 
     def snapshot(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -163,11 +165,230 @@ class SnapshotTable:
         snap = self.snapshot()
         return T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
 
+    # ------------------------------------------------------ metadata tables
+    # Queryable metadata DataFrames — the Iceberg ``table.snapshots`` /
+    # ``table.files`` / ``table.refs`` inspection surface (reference
+    # analogue: the load_metadata audit table, build_load_dag.py:
+    # 236-268). All driver-side manifest reads (bounded by snapshot
+    # count / file count), no data-file scan.
+
+    def meta_snapshots(self) -> DataFrame:
+        """One row per retained snapshot: version lineage + commit stats."""
+        rows = []
+        for e in sorted(os.listdir(self._meta)):
+            if not (e.startswith("snapshot-") and e.endswith(".json")):
+                continue
+            with open(os.path.join(self._meta, e)) as f:
+                s = json.load(f)
+            rows.append(
+                (
+                    int(s["version"]),
+                    int(s["parent_version"]),
+                    float(s.get("committed_at") or 0.0),
+                    int(s.get("num_buckets") or 0),
+                    sum(len(fs) for fs in s["bucket_files"].values()),
+                    len(s.get("commit_buckets") or []),
+                    str((s.get("lineage") or {}).get("op") or ""),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, parent_version long, committed_at double, "
+            "num_buckets int, total_files long, commit_buckets int, op string",
+        )
+
+    def meta_files(self, version: int | None = None) -> DataFrame:
+        """One row per live data file of a snapshot (bucket, path, and
+        the per-file _seq skip range when tracked)."""
+        snap = self.snapshot(version)
+        seq_ranges = snap.get("file_seq_ranges") or {}
+        rows = []
+        for b, fs in snap["bucket_files"].items():
+            for f in fs:
+                rng = seq_ranges.get(f)
+                rows.append(
+                    (
+                        int(b),
+                        f,
+                        int(rng[0]) if rng else None,
+                        int(rng[1]) if rng else None,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "bucket int, path string, min_seq long, max_seq long"
+        )
+
+    def meta_refs(self) -> DataFrame:
+        """One row per named ref (main + branches + tags)."""
+        rows = [
+            (name, r["kind"], int(r["version"]))
+            for name, r in sorted(self.refs().items())
+        ]
+        return self.spark.createDataFrame(rows, "name string, kind string, version long")
+
     def file_counts(self) -> dict[int, int]:
         return {int(b): len(fs) for b, fs in self.snapshot()["bucket_files"].items()}
 
     def last_epoch(self, app_id: str) -> int:
         return int(self.snapshot()["properties"].get(f"last_epoch:{app_id}", -1))
+
+    # ------------------------------------------------------ refs (WAP)
+    # Named refs over the snapshot log — Iceberg branches and tags.
+    # "main" is the legacy VERSION pointer; a branch is a mutable
+    # pointer commits can advance; a tag is immutable. Together they
+    # give the write-audit-publish flow the reference approximates with
+    # its verify-then-publish DAG chain (build_verify_streaming_dag.py
+    # gating the public views): stage commits on an audit branch, run
+    # the verify suite against the branch head, then fast_forward main
+    # — readers of main never observe unaudited data, and the staged
+    # commits (with their epoch-fencing properties) publish atomically
+    # by pointer swap, so exactly-once survives the promotion.
+
+    _REF_NAME_RE = re.compile(r"^[A-Za-z0-9._\-]{1,64}$")
+
+    def _ref_path(self, name: str, kind: str) -> str:
+        return os.path.join(self._meta, f"{kind}-{name}.txt")
+
+    def ref_version(self, name: str = "main") -> int:
+        """Head version of a ref. main -> -1 when the table is empty;
+        unknown branch/tag names raise ValueError."""
+        if name == "main":
+            try:
+                with open(os.path.join(self._meta, VERSION_FILE)) as f:
+                    return int(f.read().strip())
+            except FileNotFoundError:
+                return -1
+        for kind in ("branch", "tag"):
+            try:
+                with open(self._ref_path(name, kind)) as f:
+                    return int(f.read().strip())
+            except FileNotFoundError:
+                continue
+        raise ValueError(f"unknown ref {name!r}")
+
+    def refs(self) -> dict[str, dict]:
+        """All named refs: ``{name: {"kind": ..., "version": ...}}``."""
+        out = {"main": {"kind": "branch", "version": self.ref_version("main")}}
+        try:
+            entries = os.listdir(self._meta)
+        except FileNotFoundError:
+            return out
+        for e in entries:
+            for kind in ("branch", "tag"):
+                if e.startswith(f"{kind}-") and e.endswith(".txt"):
+                    name = e[len(kind) + 1 : -4]
+                    out[name] = {"kind": kind, "version": self.ref_version(name)}
+        return out
+
+    def with_branch(self, name: str) -> "SnapshotTable":
+        """A view of this table whose reads AND commits target the given
+        branch (the Iceberg ``spark.wap.branch`` analogue): pass the
+        returned instance anywhere a SnapshotTable goes — apply_changes,
+        compact, verify — and main is untouched until fast_forward."""
+        if name != "main" and not os.path.exists(self._ref_path(name, "branch")):
+            raise ValueError(f"unknown branch {name!r} — create_branch first")
+        t = copy.copy(self)
+        t.branch = name
+        mb = t.snapshot().get("num_buckets")
+        if mb:
+            t.num_buckets = int(mb)
+        return t
+
+    def _write_pointer(self, name: str, version: int) -> None:
+        """Atomic ref-pointer swap (tmp write + rename)."""
+        path = (
+            os.path.join(self._meta, VERSION_FILE)
+            if name == "main"
+            else self._ref_path(name, "branch")
+        )
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, path)
+
+    def _create_ref(self, name: str, kind: str, version: int | None) -> int:
+        if name == "main" or not self._REF_NAME_RE.match(name):
+            raise ValueError(f"invalid ref name {name!r}")
+        v = self.current_version() if version is None else int(version)
+        if v < 0:
+            # a BRANCH may be born at the empty state (-1) so WAP can
+            # gate a table from its very first commit; a tag of nothing
+            # is meaningless
+            if kind == "tag" or v < -1:
+                raise ValueError("cannot create a tag on an empty table")
+        elif not os.path.exists(os.path.join(self._meta, f"snapshot-{v:012d}.json")):
+            raise ValueError(f"no snapshot v{v} to point the ref at")
+        os.makedirs(self._meta, exist_ok=True)
+        # O_EXCL: creating an existing ref is an error, atomically so
+        try:
+            fd = os.open(
+                self._ref_path(name, kind), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            raise ValueError(f"{kind} {name!r} already exists") from None
+        try:
+            os.write(fd, str(v).encode())
+        finally:
+            os.close(fd)
+        return v
+
+    def create_branch(self, name: str, from_version: int | None = None) -> int:
+        """New mutable branch at ``from_version`` (default: main head)."""
+        if os.path.exists(self._ref_path(name, "tag")):
+            raise ValueError(f"ref {name!r} already exists as a tag")
+        return self._create_ref(name, "branch", from_version)
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Immutable named snapshot pointer (audit/retention anchor)."""
+        if os.path.exists(self._ref_path(name, "branch")):
+            raise ValueError(f"ref {name!r} already exists as a branch")
+        return self._create_ref(name, "tag", version)
+
+    def drop_branch(self, name: str) -> None:
+        try:
+            os.unlink(self._ref_path(name, "branch"))
+        except FileNotFoundError:
+            raise ValueError(f"unknown branch {name!r}") from None
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.unlink(self._ref_path(name, "tag"))
+        except FileNotFoundError:
+            raise ValueError(f"unknown tag {name!r}") from None
+
+    def fast_forward(self, branch: str, from_ref: str) -> int:
+        """Advance ``branch`` to ``from_ref``'s head — the WAP publish.
+        Only fast-forwards are allowed: the branch head must be an
+        ancestor of the source head (walked over ``parent_version``),
+        otherwise the branch saw commits the source never audited and
+        the promotion raises CommitConflictError (divergence — rebase
+        by re-staging, exactly like a lost Iceberg CAS)."""
+        if branch != "main" and not os.path.exists(self._ref_path(branch, "branch")):
+            raise ValueError(f"unknown branch {branch!r}")
+        if os.path.exists(self._ref_path(branch, "tag")):
+            raise ValueError("cannot fast-forward a tag")
+        os.makedirs(self._meta, exist_ok=True)
+        lock_fd = self._acquire_lock(os.path.join(self._meta, LOCK_FILE))
+        try:
+            src = self.ref_version(from_ref)
+            dst = self.ref_version(branch)
+            v = src
+            # versions are allocated globally monotone, so every parent
+            # chain is strictly decreasing — walk src's ancestry down to
+            # dst's height and require exact hit
+            while v > dst:
+                v = int(self.snapshot(v)["parent_version"])
+            if v != dst:
+                raise CommitConflictError(
+                    f"{branch} (v{dst}) is not an ancestor of "
+                    f"{from_ref} (v{src}) — diverged; re-stage and retry"
+                )
+            if src != dst:
+                self._write_pointer(branch, src)
+            return src
+        finally:
+            os.close(lock_fd)
+            os.unlink(os.path.join(self._meta, LOCK_FILE))
 
     #: a lock older than this with a dead (or unknown) holder is broken
     LOCK_TTL_SEC = 300.0
@@ -225,6 +446,22 @@ class SnapshotTable:
             return True
         return False
 
+    def _next_version(self) -> int:
+        """Version numbers are allocated globally monotone across ALL
+        refs (snapshot files share one namespace), so branch commits
+        never collide with main's and every parent chain is strictly
+        decreasing — the invariant fast_forward's ancestry walk uses."""
+        try:
+            entries = os.listdir(self._meta)
+        except FileNotFoundError:
+            return 0
+        vs = [
+            int(e.split("-")[1].split(".")[0])
+            for e in entries
+            if e.startswith("snapshot-") and e.endswith(".json")
+        ]
+        return max(vs, default=-1) + 1
+
     def _publish(self, snap: dict) -> None:
         """Manifest write + atomic pointer swap (the WRITE_TRUNCATE copy
         publish of build_load_dag.py:174-182, made atomic via rename),
@@ -233,6 +470,10 @@ class SnapshotTable:
         inside an exclusive lock — concurrent committers get
         CommitConflictError and must re-read + retry (Iceberg CAS
         commit semantics)."""
+        if self.branch != "main" and os.path.exists(
+            self._ref_path(self.branch, "tag")
+        ):
+            raise ValueError("cannot commit to a tag")
         os.makedirs(self._meta, exist_ok=True)
         v = snap["version"]
         lock_path = os.path.join(self._meta, LOCK_FILE)
@@ -248,10 +489,7 @@ class SnapshotTable:
             with open(tmp, "w") as f:
                 json.dump(snap, f)
             os.replace(tmp, path)
-            vtmp = os.path.join(self._meta, f"{VERSION_FILE}.tmp-{uuid.uuid4().hex}")
-            with open(vtmp, "w") as f:
-                f.write(str(v))
-            os.replace(vtmp, os.path.join(self._meta, VERSION_FILE))
+            self._write_pointer(self.branch, v)
         finally:
             os.close(lock_fd)
             os.unlink(lock_path)
@@ -269,7 +507,10 @@ class SnapshotTable:
         return out
 
     def read_files(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Unfolded scan of a snapshot's data files (optionally pruned to
         a bucket list) through that snapshot's schema — old files gain
@@ -277,30 +518,54 @@ class SnapshotTable:
         travel reads any retained snapshot (Iceberg VERSION AS OF; the
         retention window is expire_snapshots' keep_last). One doc_id may
         appear in several delta files; use :meth:`read_raw` for the
-        folded single-row-per-key view."""
+        folded single-row-per-key view.
+
+        ``columns`` (payload names) narrows the projection BEFORE the
+        LWW fold, so Catalyst prunes the parquet ReadSchema to
+        key + bookkeeping + the requested columns — on a wide table the
+        scan bytes drop proportionally (the Iceberg column-projection
+        analogue). Key and internals are always included: the fold
+        needs them for correctness."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
         files = self._files(buckets, version)
         if schema is None or not files:
             empty_schema = schema or T.StructType([T.StructField("doc_id", T.StringType())])
             return self.spark.createDataFrame([], empty_schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(*files)
+        if columns is not None:
+            need = ["doc_id", *INTERNAL_COLS]
+            sel = need + [c for c in columns if c not in need]
+            df = df.select(*[c for c in sel if c in df.columns])
+        return df
 
     def read_raw(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Folded scan: one row per doc_id (highest (_seq, _epoch) wins).
         Includes tombstone rows (deleted keys retained with their seq so
         late stale events cannot resurrect them — Kafka-compaction-style)."""
-        return fold_lww(self.read_files(buckets, version))
+        return fold_lww(self.read_files(buckets, version, columns))
 
     def read(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
-        """Consumer-facing scan: folded, tombstones filtered out."""
-        df = self.read_raw(buckets, version)
+        """Consumer-facing scan: folded, tombstones filtered out. With
+        ``columns``, only key + the requested payload columns come back
+        (and only they are read off disk — projection is pushed below
+        the fold into the parquet scan)."""
+        df = self.read_raw(buckets, version, columns)
         if "_tombstone" in df.columns:
             df = df.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+        if columns is not None:
+            keep = ["doc_id"] + [c for c in columns if c != "doc_id"]
+            df = df.select(*[c for c in keep if c in df.columns])
         return df
 
     @classmethod
@@ -630,7 +895,7 @@ class SnapshotTable:
             props.update(properties)
         props[f"last_epoch:{app_id}"] = epoch
         snap = {
-            "version": prev["version"] + 1,
+            "version": self._next_version(),
             "parent_version": prev["version"],
             "committed_at": time.time(),
             "schema": schema.jsonValue(),
@@ -795,7 +1060,7 @@ class SnapshotTable:
             raise ValueError("table has no snapshot yet")
         snap = dict(prev)
         snap.update(
-            version=prev["version"] + 1,
+            version=self._next_version(),
             parent_version=prev["version"],
             committed_at=time.time(),
             commit_buckets=[],
@@ -834,12 +1099,21 @@ class SnapshotTable:
         """Drop expired manifests and GC data files no live manifest
         references (reference: build_clean_dag.py partition GC, M3;
         Iceberg expire_snapshots). Live = the newest ``keep_last``
-        snapshots, plus — when ``ttl_sec`` is given — every snapshot
-        younger than the TTL (age-based retention window)."""
-        cur = self.current_version()
+        snapshots, plus every named-ref head (branch and tag heads are
+        never expired — the Iceberg ref-retention rule), plus — when
+        ``ttl_sec`` is given — every snapshot younger than the TTL
+        (age-based retention window)."""
+        cur = self.ref_version("main")
         if cur < 0:
             return 0
-        live_versions = set(range(max(0, cur - keep_last + 1), cur + 1))
+        existing = sorted(
+            int(e.split("-")[1].split(".")[0])
+            for e in os.listdir(self._meta)
+            if e.startswith("snapshot-") and e.endswith(".json")
+        )
+        live_versions = set(existing[-keep_last:]) if keep_last > 0 else set()
+        live_versions.update(r["version"] for r in self.refs().values())
+        live_versions.discard(-1)
         if ttl_sec is not None:
             cutoff = time.time() - ttl_sec
             for entry in os.listdir(self._meta):

@@ -34,6 +34,13 @@ from ethereum_etl_airflow_spark.operators.cdc import apply_changes
 from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
 
 
+class AuditGateError(RuntimeError):
+    """A staged batch failed the WAP audit: main was NOT advanced and
+    the audit branch was reset to the published head. The epoch was
+    never fenced on main, so fixing the feed (or the checks) and
+    re-running re-applies the batch cleanly — exactly-once holds."""
+
+
 class ChangeLogTailer:
     def __init__(
         self,
@@ -48,6 +55,8 @@ class ChangeLogTailer:
         feed_bucketed: bool = False,
         track_ndv: str | None = None,
         quarantine_root: str | None = None,
+        wap_branch: str | None = None,
+        audit_checks: list | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -75,17 +84,75 @@ class ChangeLogTailer:
         # column name to track; costs one extra narrow agg per batch,
         # so it's off on the bench/throughput path by default
         self.track_ndv = track_ndv
+        # opt-in write-audit-publish (reference: the verify-then-publish
+        # DAG chain gating public views, build_verify_streaming_dag.py):
+        # every batch commits to this branch first; audit_checks (a
+        # verify.Check list) run against the STAGED head, and only a
+        # passing batch fast-forwards main. Readers of main never see
+        # unaudited rows; a failing batch resets the branch and raises
+        # AuditGateError.
+        self.wap_branch = wap_branch
+        self.audit_checks = audit_checks
+        self._staged_handle: SnapshotTable | None = None
         self.applied: list[dict] = []
 
+    def _staged(self) -> SnapshotTable:
+        """The table commits land on: main, or the WAP audit branch."""
+        if self.wap_branch is None:
+            return self.table
+        try:
+            self.table.ref_version(self.wap_branch)
+        except ValueError:
+            self.table.create_branch(self.wap_branch)
+        if self._staged_handle is None:
+            self._staged_handle = self.table.with_branch(self.wap_branch)
+        return self._staged_handle
+
+    def _wap_gate(self, target: SnapshotTable, lineage: dict) -> dict:
+        """Audit the staged head; publish (fast-forward main) or reset."""
+        details = None
+        ok = True
+        if self.audit_checks:
+            from ethereum_etl_airflow_spark.verify import run_checks
+
+            details = run_checks(target.read(), self.audit_checks, strict=False)
+            ok = all(v.startswith("PASS") for v in details.values())
+        if ok:
+            head = self.table.fast_forward("main", self.wap_branch)
+            lineage["wap"] = {
+                "branch": self.wap_branch,
+                "published_version": head,
+                "audit": details,
+            }
+            return lineage
+        # abandon the staged commit: branch snaps back to the published
+        # head. Main never fenced this epoch, so a corrected re-run
+        # re-applies it (exactly-once preserved).
+        self.table.drop_branch(self.wap_branch)
+        self.table.create_branch(self.wap_branch)
+        self._staged_handle = self.table.with_branch(self.wap_branch)
+        lineage["wap"] = {
+            "branch": self.wap_branch,
+            "published_version": None,
+            "audit": details,
+        }
+        self._record_lineage(lineage)
+        raise AuditGateError(
+            f"epoch {lineage['epoch']} failed audit; main stays at "
+            f"v{self.table.current_version()}: {details}"
+        )
+
     def _apply(self, batch_df, app_id: str, epoch: int, props=None):
-        """One batch through the CDC core, dead-lettering if enabled."""
+        """One batch through the CDC core, dead-lettering if enabled,
+        staged + audited when WAP is on."""
+        target = self._staged()
         if self.quarantine is not None:
             from ethereum_etl_airflow_spark.operators.quarantine import (
                 apply_changes_quarantined,
             )
 
             combined = apply_changes_quarantined(
-                self.table,
+                target,
                 self.quarantine,
                 batch_df,
                 app_id,
@@ -97,16 +164,19 @@ class ChangeLogTailer:
             lineage = combined["main"]
             if lineage is not None:
                 lineage["quarantined_events"] = combined["quarantined_events"]
-            return lineage
-        return apply_changes(
-            self.table,
-            batch_df,
-            app_id,
-            epoch=epoch,
-            verify=self.verify,
-            feed_bucketed=self.feed_bucketed,
-            properties=props,
-        )
+        else:
+            lineage = apply_changes(
+                target,
+                batch_df,
+                app_id,
+                epoch=epoch,
+                verify=self.verify,
+                feed_bucketed=self.feed_bucketed,
+                properties=props,
+            )
+        if self.wap_branch is not None and lineage is not None:
+            lineage = self._wap_gate(target, lineage)
+        return lineage
 
     def _run_post_checks(self, lineage: dict) -> None:
         if not self.post_batch_checks:

@@ -85,6 +85,41 @@ EXPECTATIONS = {
     # novelty curve: grams travel as 60-bit hashes, all-JVM; shuffles =
     # gram-hash agg + join-back + doc regroup (and their reused scans)
     "text_ngram_novelty": dict(max_python=0, max_read_cols=2, max_exchanges=4),
+    # paragraph dedup: segmentation fused narrow; first-occurrence
+    # window (1 exchange by paragraph content) + doc reassembly (1)
+    "dedup_paragraph_exact": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
+    # blocklist gate: the seed side is a BroadcastExchange (not counted
+    # — no fact shuffle); exchanges = the countDistinct two-phase agg
+    "domain_blocklist_filter": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
+    # funnel: every events scan re-reads with its stage predicate
+    # PUSHED and <=3 columns — never a cached wide scan; per-user MIN
+    # aggs + stage joins bound the exchanges
+    "events_funnel_conversion": dict(
+        max_exchanges=6, max_python=0, need_pushed=True, max_read_cols=3
+    ),
+    # salted hot-key agg: exactly the two designed exchanges — partial
+    # on (key, salt), final on key
+    "agg_salted_hotkeys": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # ROLLUP lattice: Expand + ONE exchange computes all levels
+    "events_rollup_totals": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # log2-histogram sketch: ONE data-bearing exchange (the <=64-cell
+    # histogram agg); the cumsum window + rank-pick exchanges carry
+    # only the histogram rows
+    "sketch_histogram_quantiles": dict(
+        max_exchanges=3, max_python=0, max_scans=1, max_read_cols=1
+    ),
+    # pivot with explicit values: single agg pass, no distinct pre-scan
+    "events_pivot_daily": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
 }
 
 

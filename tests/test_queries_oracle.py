@@ -18,7 +18,11 @@ ORACLE_CASES = [name for name, spec in REGISTRY.items() if spec.oracle]
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_query_matches_oracle(spark, name):
     spec = REGISTRY[name]
-    ok, msg = compare(spark, SF_ORACLE, spec.spark_fn, spec.oracle)
+    # lazy oracles are zero-arg callables (audits composing other
+    # registered oracles) — resolve exactly like the driver's
+    # get_oracles() does
+    oracle = spec.oracle() if callable(spec.oracle) else spec.oracle
+    ok, msg = compare(spark, SF_ORACLE, spec.spark_fn, oracle)
     assert ok, f"{name}: {msg}"
 
 
