@@ -152,3 +152,50 @@ def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES]
     )
+
+
+@register(
+    "orders_cohort_retention",
+    oracle="""
+    WITH first_m AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(f.cohort AS STRING) AS cohort_month,
+           CAST((year(CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                 - year(f.cohort)) * 12
+                + (month(CAST(date_trunc('month', o.o_orderdate) AS DATE))
+                   - month(f.cohort)) AS INT) AS month_offset,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_custs
+    FROM orders o JOIN first_m f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: customers bucketed by first-order "
+    "month, distinct actives counted per months-since-cohort offset",
+    survey_ref="reference enrich-stage BI aggregates; J3 aggregating "
+    "join + A4 COUNT(DISTINCT) composed into the retention shape",
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order month = ONE per-customer MIN agg; the join back is
+    custkey-co-partitioned with that agg (sort-merge reuses the
+    partitioning), then one distinct-count agg on the tiny
+    (cohort, offset) grid. Month offset is integer year/month
+    arithmetic — portable bit-for-bit, unlike months_between's double."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first_m = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort")
+    )
+    j = o.join(first_m, "o_custkey").select(
+        "o_custkey",
+        F.col("cohort").cast("string").alias("cohort_month"),
+        (
+            (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort")) * 12
+            + (F.month(F.date_trunc("month", "o_orderdate")) - F.month("cohort"))
+        )
+        .cast("int")
+        .alias("month_offset"),
+    )
+    return j.groupBy("cohort_month", "month_offset").agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_custs")
+    )

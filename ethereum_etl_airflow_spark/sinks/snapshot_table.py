@@ -777,6 +777,7 @@ class SnapshotTable:
         full_replace: bool = False,
         new_num_buckets: int | None = None,
         properties: dict | None = None,
+        sort_cols: list[str] | None = None,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -804,11 +805,14 @@ class SnapshotTable:
         if align_buckets:
             n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
             out_df = out_df.repartition(n_out, "_bucket")
-        # sort by key within each file: parquet column min/max stats then
-        # let point lookups skip whole row groups (Iceberg sort-order
-        # analogue; the write already sorts by _bucket for partitionBy,
-        # adding doc_id costs nothing extra)
-        out_df.sortWithinPartitions("_bucket", "doc_id").write.partitionBy(
+        # sort within each file: parquet column min/max stats then let
+        # scans skip whole row groups (Iceberg sort-order analogue; the
+        # write already sorts by _bucket for partitionBy, the extra keys
+        # cost nothing extra). Default key = doc_id (point lookups);
+        # ``sort_cols`` overrides for layout rewrites (e.g. a Z-order
+        # key for 2-D pruning, or _seq for replay-range scans).
+        sort_keys = ["_bucket", *(sort_cols or ["doc_id"])]
+        out_df.sortWithinPartitions(*sort_keys).write.partitionBy(
             "_bucket"
         ).parquet(out_dir)
 
@@ -1015,6 +1019,7 @@ class SnapshotTable:
         buckets: list[int] | None = None,
         drop_tombstones_below: int | None = None,
         app_id: str = "maintenance",
+        sort_by: list[str] | None = None,
     ) -> dict:
         """Fold the given buckets (default: all) down to one file each.
         Logical state is unchanged — except tombstones older than
@@ -1038,12 +1043,23 @@ class SnapshotTable:
             replace_buckets=set(buckets),
             app_id=app_id,
             epoch=self.last_epoch(app_id) + 1,
+            sort_cols=sort_by,
             lineage={
                 "op": "compact",
                 "buckets": len(buckets),
                 "drop_tombstones_below": drop_tombstones_below,
+                "sort_by": sort_by,
             },
         )
+
+    def rewrite_sorted(self, sort_by: list[str], app_id: str = "maintenance") -> dict:
+        """Layout rewrite (Iceberg ``rewrite_data_files`` with a sort
+        order): compact every bucket to one file whose rows are sorted
+        by ``sort_by`` — parquet row-group min/max stats on those
+        columns become tight, so predicate scans skip whole row groups.
+        Pair with ``functions/layout.zvalue`` for 2-D pruning. Logical
+        state is unchanged (same fold as compact); one atomic commit."""
+        return self.compact(app_id=app_id, sort_by=sort_by)
 
     def expire_tombstones(self, watermark_seq: int, app_id: str = "maintenance") -> dict:
         """Physically drop tombstones with ``_seq < watermark_seq``."""

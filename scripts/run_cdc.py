@@ -63,6 +63,15 @@ def main() -> int:
         help="maintain an incremental HLL distinct-key statistic for COL "
         "in snapshot properties (replay mode; operators/table_stats.py)",
     )
+    ap.add_argument(
+        "--wap-branch",
+        default=None,
+        metavar="NAME",
+        help="write-audit-publish: stage every batch on this branch, run "
+        "the --checks suite against the staged head, and fast-forward "
+        "main only on pass (a failing batch resets the branch and exits "
+        "non-zero; re-run after fixing the feed — exactly-once holds)",
+    )
     args = ap.parse_args()
 
     from ethereum_etl_airflow_spark.session import get_spark
@@ -85,7 +94,11 @@ def main() -> int:
         args.table_root,
         app_id=args.app_id,
         num_buckets=args.buckets,
-        post_batch_checks=checks,
+        # with --wap-branch the checks gate PUBLICATION (audit_checks on
+        # the staged branch head) instead of running post-publish
+        post_batch_checks=None if args.wap_branch else checks,
+        audit_checks=checks if args.wap_branch else None,
+        wap_branch=args.wap_branch,
         track_ndv=args.track_ndv,
     )
 
@@ -113,8 +126,17 @@ def main() -> int:
         return 0
 
     if args.mode == "replay":
-        for li in tailer.replay_batches():
-            print(json.dumps(li))
+        from ethereum_etl_airflow_spark.streaming.tailer import AuditGateError
+
+        try:
+            for li in tailer.replay_batches():
+                print(json.dumps(li))
+        except AuditGateError as e:
+            # staged batch failed the audit: main untouched, branch
+            # reset; the failing epoch re-applies after the fix
+            print(json.dumps({"audit_failed": True, "error": str(e)}))
+            spark.stop()
+            return 3
     else:
         if not args.checkpoint:
             ap.error("--checkpoint is required for --mode stream")

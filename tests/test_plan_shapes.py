@@ -120,6 +120,11 @@ EXPECTATIONS = {
     "events_pivot_daily": dict(
         max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
     ),
+    # cohort retention: custkey agg + co-partitioned join-back + the
+    # distinct-actives agg on the tiny (cohort, offset) grid
+    "orders_cohort_retention": dict(
+        max_exchanges=3, max_python=0, max_read_cols=2
+    ),
 }
 
 
