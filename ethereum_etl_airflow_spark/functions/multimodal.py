@@ -214,3 +214,79 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(media_table(spark, sf_dir))
+
+
+WINDOW_BYTES = 64
+
+ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("peak_energy", T.LongType()),
+    ]
+)
+
+
+def audio_energy(media_df: DataFrame, window_bytes: int = WINDOW_BYTES) -> DataFrame:
+    """binary -> per-media windowed energy features (the audio
+    feature-extract shape: samples -> fixed windows -> sum-of-squares
+    per window -> per-media reduction, all INSIDE one Arrow batch —
+    the window fan-out never leaves the kernel, unlike frame_sample's
+    deliberate flat-map). Exact int64 math so the oracle reproduces it
+    bit-for-bit; swap the u8 read for int16 PCM + a real windowing fn
+    when codec libs exist (decode_media_real pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                a = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                pad = (-len(a)) % window_bytes
+                if pad:
+                    a = np.concatenate([a, np.zeros(pad, dtype=np.int64)])
+                w = (a * a).reshape(-1, window_bytes).sum(axis=1)
+                rows.append(
+                    (doc_id, len(w), int(w.sum()), int(w.max()) if len(w) else 0)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_windows", "total_energy", "peak_energy"]
+            )
+
+    return media_df.mapInPandas(run, ENERGY_SCHEMA)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, strlen(text) AS n FROM documents
+    ), w AS (
+        SELECT doc_id, text, n,
+               unnest(generate_series(0, ((n + {WINDOW_BYTES} - 1) // {WINDOW_BYTES}) - 1)) AS wi
+        FROM t
+    ), e AS (
+        SELECT doc_id, wi,
+               list_sum(list_transform(
+                   generate_series(1, least({WINDOW_BYTES}, n - wi * {WINDOW_BYTES})::BIGINT),
+                   i -> ascii(substr(text, wi * {WINDOW_BYTES} + i, 1))
+                        * ascii(substr(text, wi * {WINDOW_BYTES} + i, 1)))) AS en
+        FROM w
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_windows,
+           sum(en)::BIGINT AS total_energy,
+           max(en)::BIGINT AS peak_energy
+    FROM e GROUP BY doc_id
+    """,
+    doc="audio-style windowed energy extraction: fixed sample windows, "
+    "exact-int sum-of-squares per window, per-media reduction inside "
+    "ONE Arrow kernel (zero-shuffle narrow map)",
+    survey_ref="training-pipeline ops (multimodal feature-extract verb; "
+    "decode and frame-sample are the sibling kernels)",
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_energy(media_table(spark, sf_dir))

@@ -139,3 +139,59 @@ def run_dedup_stream(
     )
     q.awaitTermination()
     return spark.table(out_table)
+
+
+def run_enrich_stream(
+    spark,
+    feed_dir: str,
+    dim_table,
+    checkpoint_dir: str,
+    out_dir: str,
+    key: str = "doc_id",
+    dim_columns: list[str] | None = None,
+    broadcast_dim: bool = True,
+    max_files: int | None = 1,
+) -> DataFrame:
+    """Stream-static enrichment: join the change stream against a
+    snapshot-table dimension, re-reading the dimension's CURRENT
+    snapshot at every micro-batch — dim updates committed between
+    triggers are visible to the next batch (the Iceberg/Delta
+    stream-static refresh semantics, which a plain parquet static side
+    cannot give: its file list freezes at plan time). This is the
+    slowly-changing-dimension enrichment the reference's enrich stage
+    performs table-at-a-time, in streaming form.
+
+    Scale notes: the per-batch dim read uses column projection
+    (``dim_columns``) so only the join payload leaves the dim's
+    parquet; ``broadcast_dim`` fits the common small-dim case (no
+    stream shuffle at all — stateless enrichment, unlike stream-stream
+    joins there is NO watermark state to budget). For a dim too big to
+    broadcast, pass False and pre-bucket both sides on the key.
+    foreachBatch output is appended per epoch; Spark's checkpoint
+    makes replays re-run the same epoch, and the parquet append is
+    made idempotent by writing each epoch to its own subdirectory
+    (re-processing overwrites the same epoch dir, never duplicates)."""
+    stream = _file_stream(spark, feed_dir, max_files)
+
+    def _apply(batch_df, epoch_id: int):
+        dim = dim_table.read(columns=dim_columns)  # FRESH snapshot
+        # dim payload gets a dim_ prefix: stream and dimension schemas
+        # routinely share names (source, ts, ...) and a silent clash is
+        # an AnalysisException at best, wrong attribution at worst
+        dim = dim.select(
+            key, *[F.col(c).alias(f"dim_{c}") for c in dim.columns if c != key]
+        )
+        if broadcast_dim:
+            dim = F.broadcast(dim)
+        enriched = batch_df.join(dim, key, "left")
+        # per-epoch overwrite = idempotent under checkpoint replay
+        enriched.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)

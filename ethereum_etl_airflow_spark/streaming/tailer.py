@@ -34,6 +34,45 @@ from ethereum_etl_airflow_spark.operators.cdc import apply_changes
 from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
 
 
+#: from_json schema for the canonical JSON change envelope (the
+#: Debezium/WAL wire shape adapted to the tokenized-sequence payload).
+#: doc_id and seq ride at the TOP level so delete envelopes — whose
+#: ``after`` payload is absent — still carry their key and ordering;
+#: a missing/null ``after`` decodes to null payload columns, which is
+#: exactly the tombstone contract apply_changes expects for op='D'.
+CHANGE_ENVELOPE_SCHEMA = (
+    "op string, doc_id string, seq long, ts timestamp_ntz, "
+    "after struct<tokens: array<int>, n_tok: int, source: string>"
+)
+
+
+def envelope_to_changes(df, column: str = "envelope", schema: str = CHANGE_ENVELOPE_SCHEMA):
+    """Raw JSON change-envelope column -> canonical change rows.
+
+    Pure JVM ``from_json`` (whole-stage codegen — no Python in the
+    ingest hot path); malformed envelopes decode to an all-null row
+    (PERMISSIVE), which the quarantine contract check dead-letters
+    with reason null_doc_id instead of poisoning the batch. Pass as
+    ``ChangeLogTailer(transform=envelope_to_changes)`` to ingest a
+    self-describing feed through the unchanged CDC core.
+
+    Parity: the batch-analytics twin (planted-envelope parse + LWW
+    fold, oracle-checked) is functions/envelope.py.
+    """
+    from pyspark.sql import functions as F
+
+    j = df.select(F.from_json(F.col(column), schema).alias("j"))
+    return j.select(
+        F.col("j.op").alias("op"),
+        F.col("j.doc_id").alias("doc_id"),
+        F.col("j.seq").alias("seq"),
+        F.col("j.after.tokens").alias("tokens"),
+        F.col("j.after.n_tok").alias("n_tok"),
+        F.col("j.after.source").alias("source"),
+        F.col("j.ts").alias("ts"),
+    )
+
+
 class AuditGateError(RuntimeError):
     """A staged batch failed the WAP audit: main was NOT advanced and
     the audit branch was reset to the published head. The epoch was
@@ -57,6 +96,8 @@ class ChangeLogTailer:
         quarantine_root: str | None = None,
         wap_branch: str | None = None,
         audit_checks: list | None = None,
+        audit_scope: str = "commit",
+        transform=None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -93,6 +134,20 @@ class ChangeLogTailer:
         # AuditGateError.
         self.wap_branch = wap_branch
         self.audit_checks = audit_checks
+        # audit scope: "commit" (default) folds only the buckets the
+        # staged commit touched — O(changed data) per batch, sound by
+        # induction (every untouched bucket passed its own audit when
+        # last written; bucket = f(doc_id), so per-bucket reads are
+        # complete for key-scoped invariants). "table" re-audits the
+        # full fold every batch (the reference's verify cadence) —
+        # right for cross-bucket invariants, O(table) per batch.
+        self.audit_scope = audit_scope
+        # opt-in per-batch decode step applied BEFORE the CDC core —
+        # the front door for self-describing feeds (e.g. a raw JSON
+        # change-envelope column -> canonical change rows via
+        # ``envelope_to_changes``). Must be a narrow DataFrame->
+        # DataFrame map so the decoded batch stays one scan.
+        self.transform = transform
         self._staged_handle: SnapshotTable | None = None
         self.applied: list[dict] = []
 
@@ -115,7 +170,14 @@ class ChangeLogTailer:
         if self.audit_checks:
             from ethereum_etl_airflow_spark.verify import run_checks
 
-            details = run_checks(target.read(), self.audit_checks, strict=False)
+            buckets = None
+            if self.audit_scope == "commit":
+                buckets = [
+                    int(b) for b in target.snapshot().get("commit_buckets") or []
+                ] or None
+            details = run_checks(
+                target.read(buckets=buckets), self.audit_checks, strict=False
+            )
             ok = all(v.startswith("PASS") for v in details.values())
         if ok:
             head = self.table.fast_forward("main", self.wap_branch)
@@ -221,6 +283,8 @@ class ChangeLogTailer:
             if batch_id < start or (end is not None and batch_id > end):
                 continue
             batch_df = self.spark.read.parquet(path)
+            if self.transform is not None:
+                batch_df = self.transform(batch_df)
             props = None
             if self.track_ndv:
                 from ethereum_etl_airflow_spark.operators import table_stats
@@ -286,6 +350,8 @@ class ChangeLogTailer:
         stream_app = f"{self.app_id}:stream"
 
         def _apply(batch_df, epoch_id: int):
+            if self.transform is not None:
+                batch_df = self.transform(batch_df)
             lineage = self._apply(batch_df, stream_app, epoch_id)
             if lineage is not None:
                 self._run_post_checks(lineage)

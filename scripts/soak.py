@@ -39,6 +39,14 @@ def main() -> int:
     ap.add_argument("--events", type=int, default=20_000_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--workdir", default=None)
+    ap.add_argument(
+        "--governed",
+        action="store_true",
+        help="full-governance mode: WAP audit branch (tokens invariant + "
+        "unique-key checks gate every publish), dead-letter quarantine, "
+        "and incremental NDV stats ALL on — measures the audited-ingest "
+        "overhead vs the bare path",
+    )
     args = ap.parse_args()
 
     from ethereum_etl_airflow_spark.session import get_spark
@@ -75,12 +83,22 @@ def main() -> int:
     gen_sec = round(time.time() - t0, 1)
 
     table_root = os.path.join(work, "table")
+    gov_kw = {}
+    if args.governed:
+        from ethereum_etl_airflow_spark.verify import tokens_invariant, unique_key
+
+        gov_kw = dict(
+            wap_branch="audit",
+            audit_checks=[unique_key("doc_id"), tokens_invariant()],
+            quarantine_root=os.path.join(work, "dlq"),
+            track_ndv="doc_id",
+        )
     # crash-resume drill: apply half, abandon the tailer, resume from 0
     t1 = time.time()
-    ChangeLogTailer(spark, feed, table_root, app_id="soak").replay_batches(
+    ChangeLogTailer(spark, feed, table_root, app_id="soak", **gov_kw).replay_batches(
         end=n_batches // 2 - 1
     )
-    tailer = ChangeLogTailer(spark, feed, table_root, app_id="soak")
+    tailer = ChangeLogTailer(spark, feed, table_root, app_id="soak", **gov_kw)
     lineage = tailer.replay_batches()  # fenced epochs skipped, rest applied
     wall = time.time() - t1
     resumed_epochs = [li["epoch"] for li in lineage]
@@ -104,6 +122,7 @@ def main() -> int:
         "max_files_per_bucket": max(file_counts.values()),
         "state_hash_match": got_h == want_h,
         "rows": got_h[1],
+        "governed": bool(args.governed),
     }
     print(json.dumps(out))
     spark.stop()

@@ -89,3 +89,63 @@ def test_dedup_within_watermark_collapses_duplicate_tail(spark, tmp_path):
     )
     assert deduped.count() == n_distinct
     assert deduped.dropDuplicates(["doc_id", "seq"]).count() == n_distinct
+
+
+class TestEnrichStreamStatic:
+    """Stream-static enrichment re-reads the dim's CURRENT snapshot per
+    micro-batch: dim updates between triggers reach the next batch."""
+
+    def test_dim_updates_visible_to_later_batches(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+        from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+        from ethereum_etl_airflow_spark.streaming.joins import run_enrich_stream
+
+        schema = (
+            "op string, doc_id string, seq long, tokens array<int>, "
+            "n_tok int, source string"
+        )
+
+        def mk(rows):
+            return spark.createDataFrame(rows, schema).withColumn(
+                "ts", F.timestamp_seconds(F.col("seq")).cast("timestamp_ntz")
+            )
+
+        # dimension: doc metadata keyed by doc_id (tier rides in source)
+        dim = SnapshotTable(spark, str(tmp_path / "dim"), num_buckets=2)
+        apply_changes(dim, mk([("I", "a", 1, [1], 1, "gold")]), "dim", epoch=0)
+
+        # two feed batches as separate files; 1 file per trigger
+        feed = str(tmp_path / "feed")
+        mk([("I", "a", 10, [1, 2], 2, "s")]).write.parquet(f"{feed}/batch-0")
+
+        out1 = run_enrich_stream(
+            spark,
+            feed,
+            dim,
+            checkpoint_dir=str(tmp_path / "cp"),
+            out_dir=str(tmp_path / "out"),
+            dim_columns=["source"],
+        )
+        rows1 = {
+            (r.doc_id, r.seq): r.asDict() for r in out1.collect()
+        }
+        assert rows1[("a", 10)]["dim_source"] == "gold"  # dim v0 value
+
+        # dim update lands BETWEEN triggers; second batch arrives
+        apply_changes(dim, mk([("U", "a", 2, [1], 1, "silver")]), "dim", epoch=1)
+        mk([("U", "a", 11, [1, 2, 3], 3, "s")]).write.parquet(f"{feed}/batch-1")
+
+        out2 = run_enrich_stream(
+            spark,
+            feed,
+            dim,
+            checkpoint_dir=str(tmp_path / "cp"),  # same checkpoint: resume
+            out_dir=str(tmp_path / "out"),
+            dim_columns=["source"],
+        )
+        rows2 = {(r.doc_id, r.seq): r.asDict() for r in out2.collect()}
+        # batch 0's enrichment is untouched; batch 1 sees the new dim
+        assert rows2[("a", 10)]["dim_source"] == "gold"
+        assert rows2[("a", 11)]["dim_source"] == "silver"
