@@ -1425,6 +1425,8 @@ from ethereum_etl_airflow_spark.functions import webfilter as _webfilter  # noqa
 from ethereum_etl_airflow_spark.functions import funnel as _funnel  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import olap as _olap  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import envelope as _envelope  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import retrieval as _retrieval  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import timeseries as _timeseries  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -125,6 +125,32 @@ EXPECTATIONS = {
     "orders_cohort_retention": dict(
         max_exchanges=3, max_python=0, max_read_cols=2
     ),
+    # envelope ingest: from_json decode is a narrow JVM map over ONE
+    # scan; the LWW fold is the only exchange
+    "cdc_envelope_parse": dict(
+        max_exchanges=1, max_python=0, max_scans=1, need_pushed=True
+    ),
+    "cdc_envelope_schema_audit": dict(
+        max_exchanges=1, max_python=0, max_scans=1, need_pushed=True
+    ),
+    # audio energy: the window fan-out stays INSIDE one Arrow kernel —
+    # zero shuffles, one scan, exactly one Python node
+    "multimodal_audio_energy": dict(
+        max_exchanges=0, max_python=1, max_scans=1, max_read_cols=2
+    ),
+    # BM25: term filter lands below the tf shuffle (pushed isin);
+    # dfreq + corpus scalars broadcast; final top-k never global-sorts
+    "bm25_search_topk": dict(
+        max_exchanges=7, max_python=0, max_scans=4, max_read_cols=2
+    ),
+    # gap-fill: per-(series,bucket) agg + the per-series LOCF window
+    "events_gapfill_locf": dict(
+        max_exchanges=2, max_python=0, max_read_cols=4
+    ),
+    # PageRank step x2: the checkpointed edge set is computed ONCE
+    # (scan count 0 in the final plan); each step = outdeg agg + inflow
+    # agg over it
+    "pagerank_iteration": dict(max_exchanges=5, max_python=0),
 }
 
 
