@@ -628,3 +628,80 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("skey")
     )
+
+
+#: leakage fingerprint = first-K-token content prefix (the blocking key
+#: family of text_fingerprint): exact-text fps would only catch
+#: byte-identical leaks; the prefix catches the planted near-dups too.
+#: Production composes this with the MinHash CLUSTER id
+#: (dedup_cluster_canonical) as the fp for full near-dup leakage.
+_LEAK_PREFIX = 12
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH s AS (
+        SELECT CASE
+                 WHEN {phash60_sql('doc_id::VARCHAR')} % 100 < 80 THEN 'train'
+                 WHEN {phash60_sql('doc_id::VARCHAR')} % 100 < 90 THEN 'val'
+                 ELSE 'test'
+               END AS split,
+               {phash60_sql(
+                   "array_to_string(string_split(text, ' ')[1:" + str(_LEAK_PREFIX) + "], ' ')"
+               )} AS fp
+        FROM documents
+    ), g AS (
+        SELECT fp,
+               MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+               MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS in_val,
+               MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+        FROM s GROUP BY fp
+    )
+    SELECT COUNT(*)::BIGINT AS n_fingerprints,
+           SUM(in_train * in_val)::BIGINT AS leak_train_val,
+           SUM(in_train * in_test)::BIGINT AS leak_train_test,
+           SUM(in_val * in_test)::BIGINT AS leak_val_test,
+           SUM(CASE WHEN in_train + in_val + in_test >= 2 THEN 1 ELSE 0 END)
+               ::BIGINT AS n_leaked
+    FROM g
+    """,
+    doc="train/val/test contamination audit: content-prefix fingerprints "
+    "shared across hash-split boundaries (a doc duplicated under two "
+    "doc_ids can straddle splits even though the split itself is "
+    "deterministic) — the release gate run before every corpus publish",
+    survey_ref="training-pipeline ops (decontamination family; split "
+    "sibling corpus_hash_split, external-testset sibling "
+    "decontaminate_ngram_overlap)",
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow map (split + fingerprint), ONE fingerprint-keyed
+    map-side-combined agg (3 bit flags wide), and a scalar roll-up —
+    the leak check costs one shuffle of (fp, 3 bits) regardless of
+    corpus width. Key-hash splits are stable, but key-level splitting
+    cannot see content duplicated under different keys — exactly what
+    this audit counts."""
+    from ethereum_etl_airflow_spark.functions.text import tokens_col
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = phash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    fp = phash60(F.array_join(F.slice(tokens_col(), 1, _LEAK_PREFIX), " "))
+    s = d.select(split.alias("split"), fp.alias("fp"))
+    flag = lambda name: F.max(  # noqa: E731
+        F.when(F.col("split") == name, 1).otherwise(0)
+    ).alias(f"in_{name}")
+    g = s.groupBy("fp").agg(flag("train"), flag("val"), flag("test"))
+    return g.agg(
+        F.count("*").alias("n_fingerprints"),
+        F.sum(F.col("in_train") * F.col("in_val")).alias("leak_train_val"),
+        F.sum(F.col("in_train") * F.col("in_test")).alias("leak_train_test"),
+        F.sum(F.col("in_val") * F.col("in_test")).alias("leak_val_test"),
+        F.sum(
+            F.when(
+                F.col("in_train") + F.col("in_val") + F.col("in_test") >= 2, 1
+            ).otherwise(0)
+        ).alias("n_leaked"),
+    )

@@ -280,3 +280,140 @@ def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = pagerank_step(edges, r0).localCheckpoint(eager=False)
     r2 = pagerank_step(edges, r1)
     return r2.orderBy(F.desc("rank_s"), F.asc("node")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Degree-ordered triangle counting (Suri & Vassilvitskii, "Counting
+# Triangles and the Curse of the Last Reducer", WWW'11 — public
+# literature). Triangle density is the standard cohesion probe for
+# similarity/co-occurrence graphs (how clique-ish are the near-dup
+# families? is the co-occurrence graph one blob or communities?).
+#
+# The naive wedge join explodes on hubs: a degree-d node contributes
+# d^2 wedges. Orienting every edge from the LOWER-degree endpoint to
+# the higher (ties by id) caps out-degree at O(sqrt(|E|)) for ANY
+# degree distribution — the worst reducer handles sqrt(|E|)^2 = |E|
+# wedges instead of d_max^2. Each triangle is counted exactly once
+# (its unique degree-ordering orientation is acyclic).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT user_id,
+               event_type, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), edges AS (
+        SELECT DISTINCT a.user_id AS u, b.user_id AS v
+        FROM cells a JOIN cells b
+          ON a.event_type = b.event_type AND a.d = b.d
+         AND a.user_id < b.user_id
+    ), deg AS (
+        SELECT u AS node, COUNT(*) AS deg FROM (
+            SELECT u FROM edges UNION ALL SELECT v FROM edges
+        ) t(u) GROUP BY u
+    ), oriented AS (
+        SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS s,
+               CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS t
+        FROM edges e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ), wedges AS (
+        SELECT a.s AS x, a.t AS y, b.t AS z
+        FROM oriented a JOIN oriented b ON a.s = b.s AND a.t < b.t
+    )
+    SELECT (SELECT COUNT(*) FROM edges)::BIGINT AS n_edges,
+           (SELECT COUNT(*) FROM wedges)::BIGINT AS n_wedges,
+           (SELECT COUNT(*) FROM wedges w
+             WHERE EXISTS (SELECT 1 FROM oriented o
+                           WHERE (o.s = w.y AND o.t = w.z)
+                              OR (o.s = w.z AND o.t = w.y)))::BIGINT
+               AS n_triangles
+    """,
+    doc="degree-ordered triangle count on the user co-occurrence graph "
+    "(edge = two users active in the same (event_type, day) cell): "
+    "low-degree->high-degree orientation caps out-degree at "
+    "O(sqrt(|E|)), so no reducer sees a hub's d^2 wedges",
+    survey_ref="graph analytics over the similarity/co-occurrence "
+    "surfaces (cluster sibling dedup_cluster_canonical, rank sibling "
+    "pagerank_iteration); Suri & Vassilvitskii WWW'11",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: cell distinct (1 shuffle), cell self-join (co-partitioned
+    on the cell key), pair distinct (1 shuffle), degree agg over the
+    symmetrized edge list, orientation as a projection, wedge
+    self-join on the oriented source, and a semi-join closing edge
+    probe. Every join key is either the bounded cell id or a node id
+    with orientation-capped fan-out."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).distinct()
+    a = cells.alias("a")
+    b = cells.alias("b")
+    # edges and the oriented list are each referenced by several
+    # downstream branches; localCheckpoint makes them plan leaves so
+    # Catalyst doesn't re-expand the whole subtree per reference (the
+    # connected_components discipline — on a cluster, checkpoint dir)
+    edges = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") == F.col("b.d"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count("*").alias("deg"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+        .localCheckpoint()
+    )
+    oa = oriented.alias("oa")
+    ob = oriented.alias("ob")
+    # a.t < b.t makes (y, z) already id-canonical within each wedge
+    wedges = oa.join(
+        ob,
+        (F.col("oa.s") == F.col("ob.s")) & (F.col("oa.t") < F.col("ob.t")),
+    ).select(F.col("oa.t").alias("y"), F.col("ob.t").alias("z"))
+    # closing edge may be oriented either way between y and z;
+    # LEFT join + flag folds wedge and triangle counts into ONE agg
+    # (cy, cz) is unique: edges are distinct u<v pairs and orientation
+    # is a bijection on them — the LEFT join cannot fan out
+    closing = oriented.select(
+        F.least("s", "t").alias("cy"), F.greatest("s", "t").alias("cz")
+    )
+    flagged = wedges.join(
+        closing,
+        (F.col("y") == F.col("cy")) & (F.col("z") == F.col("cz")),
+        "left",
+    )
+    counts = flagged.agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum(F.col("cy").isNotNull().cast("int")).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_edges.crossJoin(counts).select(
+        "n_edges", "n_wedges", "n_triangles"
+    )

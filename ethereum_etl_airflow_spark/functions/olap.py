@@ -199,3 +199,51 @@ def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("cohort_month", "month_offset").agg(
         F.countDistinct("o_custkey").cast("long").alias("n_custs")
     )
+
+
+@register(
+    "events_cube_slice",
+    oracle="""
+    SELECT coalesce(event_type, '(all)') AS etype,
+           coalesce(CAST(CAST(date_trunc('day', ts) AS DATE) AS STRING),
+                    '(all)') AS day,
+           CAST(GROUPING(event_type) * 2
+                + GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS INT)
+               AS lattice_level,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(date_trunc('day', ts) AS DATE))
+    """,
+    doc="CUBE(event_type, day): the full 4-slice lattice (cell, per-day, "
+    "per-type, grand total) in ONE Expand + exchange, with grouping_id "
+    "exposing the slice so consumers filter a level instead of "
+    "re-aggregating",
+    survey_ref="ROLLUP sibling (events_rollup_totals) completed to the "
+    "CUBE lattice the reference's stacked per-day AND per-type enrich "
+    "views imply; SURVEY §2 A-family",
+)
+def events_cube_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same single-exchange Expand discipline as the ROLLUP: 4 lattice
+    rows per input row BEFORE the exchange, collapsed by map-side
+    partial agg within each task. grouping_id() bit order (first col =
+    MSB) matches GROUPING(a)*2 + GROUPING(b) in the oracle exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        "value",
+    )
+    cubed = ev.cube("event_type", "d").agg(
+        F.grouping_id().cast("int").alias("lattice_level"),
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return cubed.select(
+        F.coalesce(F.col("event_type"), F.lit("(all)")).alias("etype"),
+        F.coalesce(F.col("d").cast("string"), F.lit("(all)")).alias("day"),
+        "lattice_level",
+        "n_events",
+        "total_value",
+    )

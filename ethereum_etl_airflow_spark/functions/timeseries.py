@@ -123,3 +123,97 @@ def gapfill_locf(
 )
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill_locf(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Exact truncated EWMA — the float-free exponential smoother.
+#
+# EWMA is the standard smoother for metric streams (the per-batch
+# throughput/lateness series the CDC sink emits), but the textbook
+# recursion s_t = a*v_t + (1-a)*s_{t-1} is an unbounded float fold —
+# not replayable bit-for-bit, not window-expressible. Two exactness
+# moves make it both:
+#
+# * alpha = 1/2 and TRUNCATION at the last _EW_N events: the dropped
+#   tail weighs 2^-_EW_N < 2e-5 — below the 1e-6 value quantum.
+# * integer horner fold: over the frame NEWEST-first,
+#   acc' = 2*acc + iv  accumulates  sum(iv_k * 2^(m-k)) exactly in
+#   int64 (iv <= 1e9, m <= 16 -> < 2^53); the single final division
+#   by 2^m * 1e6 is one IEEE op, bit-identical in both engines.
+#   DuckDB's list_reduce seeds with the first element — identical to
+#   a 0-seeded fold for this formula (2*0 + x1 = x1).
+#
+# One exchange on user_id; the frame list is <= _EW_N values, so
+# state per row is bounded regardless of history length.
+# ---------------------------------------------------------------------------
+
+#: trailing window for the truncated EWMA (tail weight 2^-16 ~ 1.5e-5)
+_EW_N = 16
+
+
+@register(
+    "events_ewma_exact",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               CAST(CAST(value AS DECIMAL(38,6)) * 1000000 AS BIGINT) AS iv
+        FROM events
+    ), framed AS (
+        SELECT user_id, event_id,
+               list(iv) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN {_EW_N - 1} PRECEDING AND CURRENT ROW
+               ) AS frame
+        FROM iv
+    )
+    SELECT user_id, event_id,
+           len(frame)::BIGINT AS n_window,
+           list_reduce(list_reverse(frame), (acc, x) -> 2 * acc + x)::DOUBLE
+               / ((1::BIGINT << len(frame)) * 1000000)::DOUBLE AS ewma
+    FROM framed
+    """,
+    doc="exact truncated EWMA (alpha=1/2, 16-event horizon): integer "
+    "Horner fold over the trailing frame — newest event weighs 1/2, "
+    "k-th previous 2^-(k+1); one exchange, bounded per-row state, "
+    "bit-replayable (no float recursion)",
+    survey_ref="CDC per-batch metric smoothing (streaming/tailer "
+    "lineage metrics); time-series sibling of events_gapfill_locf",
+)
+def events_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list over a ROWS frame keeps frame order (window sort
+    order); the fold and the single divide run in codegen. The window
+    and any downstream per-key agg share the user_id exchange."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(38,6)") * 1000000)
+        .cast("long")
+        .alias("iv"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(_EW_N - 1), 0)
+    )
+    framed = iv.select(
+        "user_id",
+        "event_id",
+        F.collect_list("iv").over(w).alias("frame"),
+    )
+    num = F.aggregate(
+        F.reverse("frame"),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.lit(2) * acc + x,
+    )
+    return framed.select(
+        "user_id",
+        "event_id",
+        F.size("frame").cast("long").alias("n_window"),
+        (
+            num.cast("double")
+            / (
+                F.expr("shiftleft(CAST(1 AS BIGINT), size(frame))") * 1000000
+            ).cast("double")
+        ).alias("ewma"),
+    )

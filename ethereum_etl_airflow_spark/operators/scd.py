@@ -1,0 +1,134 @@
+"""CDC history shaping: SCD Type-2 intervals + out-of-order arrival audit.
+
+The CDC sink (``operators/cdc.py``) folds a change feed to CURRENT
+state (last-writer-wins).  Two sibling shapes every CDC deployment
+also needs, both pure window passes — one shuffle on the key, no
+joins, no state store:
+
+* **SCD Type-2 history** — every change event becomes a validity
+  interval ``[seq, next_seq)`` per key, the standard
+  slowly-changing-dimension form (Kimball SCD2) that lets a training
+  pipeline ask "what was this document's payload AS OF sequence s?"
+  without replaying the feed.  ``lead()`` over (key ORDER BY seq)
+  computes the closing edge; the open interval (lead IS NULL) is the
+  current row — exactly the row ``cdc_lww_fold`` keeps.  At 10^10
+  events this is ONE exchange on doc_id and a sort within partitions;
+  the same plan shape as the sink's fold, so it scales identically.
+
+* **Out-of-order arrival audit** — the north rule's exactly-once
+  replay only holds if late/duplicate tolerance is measured, not
+  assumed.  Per key, an event arrived LATE iff its sequence number is
+  below the running maximum of everything that arrived before it
+  (arrival order = event time, tiebroken by seq so reruns agree).
+  A running-max window ``ROWS UNBOUNDED PRECEDING AND 1 PRECEDING``
+  plus a conditional count gives per-key lateness counts in the same
+  single exchange.  The CDC tailer tolerates these rows (LWW by seq);
+  this audit is how an operator SEES them — feeding the lateness
+  histogram that sizes watermarks (``streaming/windows.py``).
+
+Reference parity: the reference keeps only current state per key
+(merge_table.sql:1-15 delete-insert; amended_tokens.sql ANY_VALUE) and
+relies on re-export for history; SCD2-from-the-feed is the engine-side
+upgrade.  The lateness audit mirrors the reference's verify DAGs'
+monotone block-number checks
+(verify_streaming/blocks_count.sql discipline) generalized per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ethereum_etl_airflow_spark.queries import _t, register
+
+
+@register(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id AS doc_id,
+           event_id AS valid_from_seq,
+           LEAD(event_id) OVER w - 1 AS valid_to_seq,
+           (LEAD(event_id) OVER w IS NULL) AS is_current,
+           event_type AS op,
+           CAST(CAST(value AS DECIMAL(38,6)) AS DOUBLE) AS payload
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="SCD Type-2 from the change feed: each event becomes a validity "
+    "interval [seq, next_seq) per key via one lead() window — the "
+    "open interval is the current row, point-in-time queries become "
+    "range predicates instead of feed replays",
+    survey_ref="merge_table.sql:1-15 keeps current-only (M2); SCD2 "
+    "history is the temporal upgrade; sibling of cdc_lww_fold",
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exchange on the key + in-partition sort; the lead() closing
+    edge and the is_current flag come from the same window pass.  The
+    plan is identical in shape to the LWW fold, so whatever partition
+    count carries the sink carries this."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("event_id")
+    nxt = F.lead("event_id").over(w)
+    return ev.select(
+        F.col("user_id").alias("doc_id"),
+        F.col("event_id").alias("valid_from_seq"),
+        (nxt - 1).alias("valid_to_seq"),
+        nxt.isNull().alias("is_current"),
+        F.col("event_type").alias("op"),
+        F.col("value").cast("decimal(38,6)").cast("double").alias("payload"),
+    )
+
+
+@register(
+    "cdc_out_of_order_audit",
+    oracle="""
+    WITH arr AS (
+        SELECT user_id, event_id,
+               MAX(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen_max
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN event_id < seen_max THEN 1 ELSE 0 END)::BIGINT
+               AS n_late,
+           MAX(CASE WHEN event_id < seen_max
+                    THEN seen_max - event_id ELSE 0 END)::BIGINT
+               AS max_displacement
+    FROM arr GROUP BY user_id
+    """,
+    doc="late-arrival audit per key: an event is LATE iff its seq is "
+    "below the running max of earlier arrivals (arrival order = event "
+    "time, seq tiebreak); running-max window + conditional agg in one "
+    "exchange — the lateness histogram that sizes watermarks",
+    survey_ref="verify_streaming monotone block checks generalized per "
+    "key; §2.10 late/duplicate tolerance, measured not assumed",
+)
+def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window and the groupBy share the user_id hash partitioning —
+    Catalyst reuses the exchange, so the whole audit is one shuffle.
+    max_displacement (how far back the worst straggler reached) is the
+    number a watermark delay must dominate."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    arr = ev.select(
+        "user_id",
+        "event_id",
+        F.max("event_id").over(w).alias("seen_max"),
+    )
+    late = F.col("event_id") < F.col("seen_max")
+    return arr.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(late.cast("int")).cast("long").alias("n_late"),
+        F.max(
+            F.when(late, F.col("seen_max") - F.col("event_id")).otherwise(0)
+        )
+        .cast("long")
+        .alias("max_displacement"),
+    )

@@ -1427,6 +1427,10 @@ from ethereum_etl_airflow_spark.functions import olap as _olap  # noqa: E402,F40
 from ethereum_etl_airflow_spark.functions import envelope as _envelope  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import retrieval as _retrieval  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import timeseries as _timeseries  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import spanmask as _spanmask  # noqa: E402,F401
+from ethereum_etl_airflow_spark.operators import scd as _scd  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import editdist as _editdist  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import hybrid as _hybrid  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -151,6 +151,46 @@ EXPECTATIONS = {
     # (scan count 0 in the final plan); each step = outdeg agg + inflow
     # agg over it
     "pagerank_iteration": dict(max_exchanges=5, max_python=0),
+    # span corruption: stateless hash span membership — the whole
+    # (input, target) rewrite is ONE codegen projection, no explode
+    "corpus_span_corruption": dict(
+        max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2
+    ),
+    # leak audit: fingerprint agg (3 bit flags wide) + scalar roll-up
+    "split_leakage_report": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
+    # SCD2 intervals: ONE key exchange feeding the lead() window —
+    # same plan shape as the LWW fold
+    "cdc_scd2_history": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=4
+    ),
+    # lateness audit: running-max window + per-key agg share the
+    # user_id partitioning — Catalyst reuses the exchange
+    "cdc_out_of_order_audit": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # CUBE lattice: one Expand + one exchange, like the ROLLUP sibling
+    "events_cube_slice": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # blocked Levenshtein: the fp self-join is the only data move
+    # (2 exchanges = both join sides; the block-cap count window
+    # shares the fp partitioning), verify stays JVM codegen
+    "dedup_edit_distance": dict(
+        max_exchanges=2, max_python=0, max_scans=2, max_read_cols=2
+    ),
+    # exact EWMA: one key exchange feeds the frame window; the Horner
+    # fold and the single divide are codegen projections
+    "events_ewma_exact": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # hybrid RRF: each leg bounded top-K before its rank window; the
+    # fusion join moves <= 2*LEG_K rows
+    "retrieval_hybrid_rrf": dict(max_exchanges=8, max_python=0),
+    # triangle count: edges/oriented are checkpointed leaves, so the
+    # multi-reference DAG stays ~6 exchanges instead of re-expanding
+    "graph_triangle_count": dict(max_exchanges=8, max_python=0),
 }
 
 
