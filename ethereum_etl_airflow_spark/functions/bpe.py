@@ -147,3 +147,91 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, pair string, merged string, pair_count bigint"
     )
+
+
+def _bests_sql(n_merges: int) -> str:
+    """One-row CTE exposing the n winning pairs as columns p0..p{n-1}
+    (chr(1) when a round exhausted), for use inside encode lambdas."""
+    cols = ", ".join(
+        f"COALESCE((SELECT pair FROM best{r}), {_NEVER}) AS p{r}"
+        for r in range(n_merges)
+    )
+    return f"SELECT {cols}"
+
+
+def _encode_oracle(n_merges: int) -> str:
+    # reuse the learn oracle's stage CTEs (words/sym0..symN/bestN),
+    # then encode every document word with the same replace chain
+    learn = _bpe_oracle(n_merges)
+    stages = learn.split("\n    SELECT 1 AS merge_rank")[0]  # WITH ... )
+    expr = "' ' || rtrim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '"
+    for r in range(n_merges):
+        expr = (
+            f"replace({expr}, ' ' || b.p{r} || ' ', "
+            f"' ' || replace(b.p{r}, ' ', '') || ' ')"
+        )
+    # MATERIALIZED: DuckDB inlines CTEs by default, which would
+    # re-expand the whole stage chain for every p{r} reference (and
+    # per encode row); materializing pins the 1-row pair table
+    return f"""{stages},
+    bests AS MATERIALIZED ({_bests_sql(n_merges)}),
+    docs AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), enc AS (
+        SELECT doc_id,
+               flatten(list_transform(ws,
+                   w -> string_split(trim({expr}), ' '))) AS tokens
+        FROM docs CROSS JOIN bests b
+    )
+    SELECT doc_id, tokens, len(tokens)::BIGINT AS n_tok FROM enc
+    """
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle=_encode_oracle(N_MERGES),
+    doc="BPE ENCODE: apply the learned merges to every document — "
+    "merges collected once (bounded: N_MERGES rows), then the encode "
+    "is a zero-shuffle narrow map (char-split + one replace per merge "
+    "rank inside a single transform projection). Applying merges in "
+    "learning order with replace-all reproduces the training "
+    "segmentation exactly — the oracle re-derives the merges from "
+    "scratch and encodes independently",
+    survey_ref="tokens-axis encode path closing the loop with "
+    "bpe_learn_merges (Sennrich et al. 2016); produces the CDC "
+    "target's (doc_id, tokens, n_tok) contract like "
+    "corpus_tokenize_vocab",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn step: N_MERGES bounded collect (the corpus_tokenize_vocab
+    literal-vocab discipline). Encode plan: ONE scan, one codegen
+    projection — per word, the space-wrapped symbol string goes
+    through the merge replaces in rank order; word boundaries are
+    preserved because encoding runs inside transform(words)."""
+    merges = [
+        (row["pair"], row["merged"])
+        for row in bpe_learn_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+
+    def enc(w):
+        sym = F.concat(
+            F.lit(" "),
+            F.rtrim(F.regexp_replace(w, "(.)", "$1 ")),
+            F.lit(" "),
+        )
+        for pair, merged in merges:
+            sym = F.replace(sym, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        return F.split(F.trim(sym), " ")
+
+    toks = F.flatten(F.transform(ws, enc))
+    return d.select(
+        "doc_id",
+        toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )

@@ -305,11 +305,14 @@ def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id,
                event_type, CAST(date_trunc('day', ts) AS DATE) AS d
         FROM events
+    ), adj AS (
+        SELECT user_id AS u,
+               LEAD(user_id) OVER (
+                   PARTITION BY event_type, d ORDER BY user_id
+               ) AS v
+        FROM cells
     ), edges AS (
-        SELECT DISTINCT a.user_id AS u, b.user_id AS v
-        FROM cells a JOIN cells b
-          ON a.event_type = b.event_type AND a.d = b.d
-         AND a.user_id < b.user_id
+        SELECT DISTINCT u, v FROM adj WHERE v IS NOT NULL
     ), deg AS (
         SELECT u AS node, COUNT(*) AS deg FROM (
             SELECT u FROM edges UNION ALL SELECT v FROM edges
@@ -332,41 +335,42 @@ def pagerank_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                               OR (o.s = w.z AND o.t = w.y)))::BIGINT
                AS n_triangles
     """,
-    doc="degree-ordered triangle count on the user co-occurrence graph "
-    "(edge = two users active in the same (event_type, day) cell): "
-    "low-degree->high-degree orientation caps out-degree at "
-    "O(sqrt(|E|)), so no reducer sees a hub's d^2 wedges",
+    doc="degree-ordered triangle count on the user co-occurrence graph. "
+    "Cells are encoded as adjacency PATHS (consecutive users within a "
+    "(event_type, day) cell), never cliques — a k-user cell emits k-1 "
+    "edges, not k^2/2, so the edge list stays linear in the input; "
+    "low->high-degree orientation then caps out-degree at O(sqrt(|E|)) "
+    "so no reducer sees a hub's d^2 wedges",
     survey_ref="graph analytics over the similarity/co-occurrence "
     "surfaces (cluster sibling dedup_cluster_canonical, rank sibling "
     "pagerank_iteration); Suri & Vassilvitskii WWW'11",
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plan: cell distinct (1 shuffle), cell self-join (co-partitioned
-    on the cell key), pair distinct (1 shuffle), degree agg over the
-    symmetrized edge list, orientation as a projection, wedge
-    self-join on the oriented source, and a semi-join closing edge
-    probe. Every join key is either the bounded cell id or a node id
-    with orientation-capped fan-out."""
+    """Plan: cell distinct (1 shuffle), per-cell lead() window sharing
+    that partitioning (path edges — k-1 per k-user cell, never the
+    clique's k^2/2), pair distinct, degree agg over the symmetrized
+    edge list, orientation as a projection, wedge self-join on the
+    oriented source, and a closing-edge probe. Every join key is a
+    node id with orientation-capped fan-out."""
+    from pyspark.sql import Window as W
+
     ev = _t(spark, sf_dir, "events")
     cells = ev.select(
         "user_id",
         "event_type",
         F.date_trunc("day", "ts").cast("date").alias("d"),
     ).distinct()
-    a = cells.alias("a")
-    b = cells.alias("b")
+    wadj = W.partitionBy("event_type", "d").orderBy("user_id")
     # edges and the oriented list are each referenced by several
     # downstream branches; localCheckpoint makes them plan leaves so
     # Catalyst doesn't re-expand the whole subtree per reference (the
     # connected_components discipline — on a cluster, checkpoint dir)
     edges = (
-        a.join(
-            b,
-            (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.d") == F.col("b.d"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+        cells.select(
+            F.col("user_id").alias("u"),
+            F.lead("user_id").over(wadj).alias("v"),
         )
-        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .where(F.col("v").isNotNull())
         .distinct()
         .localCheckpoint()
     )

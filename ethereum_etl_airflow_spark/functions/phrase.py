@@ -300,3 +300,79 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (novel.cast("double") / F.count(F.lit(1))).alias("novelty_frac"),
         )
     )
+
+
+@register(
+    "lm_kneser_ney_counts",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), big AS (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(range(1, len(w))) AS u(i)
+    ), uni AS (
+        SELECT w1 AS word, COUNT(*)::BIGINT AS c_uni FROM big GROUP BY 1
+    ), types AS (
+        SELECT DISTINCT w1, w2 FROM big
+    ), cont AS (
+        SELECT w2 AS word, COUNT(*)::BIGINT AS n_left FROM types GROUP BY 1
+    ), fan AS (
+        SELECT w1 AS word, COUNT(*)::BIGINT AS n_right FROM types GROUP BY 1
+    )
+    SELECT u.word,
+           u.c_uni,
+           coalesce(c.n_left, 0)::BIGINT AS n_left_types,
+           coalesce(f.n_right, 0)::BIGINT AS n_right_types
+    FROM uni u
+    LEFT JOIN cont c ON c.word = u.word
+    LEFT JOIN fan f ON f.word = u.word
+    """,
+    doc="Kneser-Ney continuation statistics: per word, the raw unigram "
+    "count, the number of DISTINCT left contexts (the KN continuation "
+    "numerator — 'how many cups of tea': frequency in novel contexts, "
+    "not raw frequency) and distinct right contexts (the backoff "
+    "normalizer). Exact integers; the smoothing division happens at "
+    "model-build time, outside the counts",
+    survey_ref="training-pipeline LM statistics (n-gram LM smoothing, "
+    "Kneser-Ney 1995 — public literature); bigram sibling of "
+    "token_pmi_bigrams, count shapes of bpe_learn_merges",
+)
+def lm_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One narrow bigram explode, a DISTINCT on bigram TYPES (the only
+    corpus-sized shuffle — keys are uniform word pairs), then three
+    vocab-bounded aggregates joined on the word. All downstream joins
+    operate on vocabulary-sized tables (AQE broadcasts them); nothing
+    after the type-distinct scales with corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    big = d.select(
+        F.explode(
+            F.zip_with(
+                F.slice(w, 1, F.size(w) - 1),
+                F.slice(w, 2, F.size(w) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = big.groupBy(F.col("w1").alias("word")).agg(
+        F.count("*").alias("c_uni")
+    )
+    types = big.distinct()
+    cont = types.groupBy(F.col("w2").alias("word")).agg(
+        F.count("*").alias("n_left")
+    )
+    fan = types.groupBy(F.col("w1").alias("word")).agg(
+        F.count("*").alias("n_right")
+    )
+    return (
+        uni.join(cont, "word", "left")
+        .join(fan, "word", "left")
+        .select(
+            "word",
+            "c_uni",
+            F.coalesce("n_left", F.lit(0)).cast("long").alias("n_left_types"),
+            F.coalesce("n_right", F.lit(0)).cast("long").alias(
+                "n_right_types"
+            ),
+        )
+    )

@@ -132,3 +132,58 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_displacement"),
     )
+
+
+@register(
+    "cdc_lateness_histogram",
+    oracle="""
+    WITH arr AS (
+        SELECT epoch(ts)::BIGINT AS ts_sec,
+               MAX(epoch(ts)::BIGINT) OVER (
+                   ORDER BY event_id % 8, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS seen_max
+        FROM events
+    ), b AS (
+        SELECT CASE
+                 WHEN seen_max IS NULL OR seen_max - ts_sec <= 0 THEN -1
+                 ELSE length(bin(2 * (seen_max - ts_sec) - 1)) - 1
+               END::BIGINT AS bucket
+        FROM arr
+    )
+    SELECT bucket,
+           CASE WHEN bucket < 0 THEN 0
+                ELSE (1::BIGINT << bucket) END::BIGINT AS ceil_sec,
+           COUNT(*)::BIGINT AS n
+    FROM b GROUP BY bucket
+    """,
+    doc="event-time lateness histogram for watermark sizing: lateness "
+    "= running max event-time over earlier arrivals minus own, kept "
+    "as exact log2 buckets (bucket b covers (2^(b-1), 2^b]); arrival "
+    "order simulates an 8-reader partitioned source merged reader-"
+    "by-reader (arrival = reader<<40 | offset) so real cross-reader "
+    "lateness exists to measure; Spark side uses the two-phase "
+    "chunked scan so no stage single-threads the feed — the oracle's "
+    "naive global window cross-checks it",
+    survey_ref="§2.10 late tolerance measured, not assumed; reference "
+    "*_have_latest.sql freshness sensors generalized to a "
+    "distribution; seq-displacement sibling cdc_out_of_order_audit",
+)
+def cdc_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival order = (event_id % 8, event_id) — an 8-reader source
+    drained reader-at-a-time, encoded as one monotone arrival integer
+    (reader << 40 | offset); event time = ts. The two-phase scan
+    (streaming/lateness.py) chunks at 4096 here so the test corpus
+    actually exercises the multi-chunk merge path."""
+    from ethereum_etl_airflow_spark.streaming.lateness import (
+        lateness_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arrival",
+        (F.col("event_id") % 8) * F.lit(1 << 40).cast("long")
+        + F.col("event_id"),
+    )
+    return lateness_histogram(
+        ev, arrival_col="arrival", ts_col="ts", chunk_size=4096
+    )

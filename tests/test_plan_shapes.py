@@ -191,6 +191,25 @@ EXPECTATIONS = {
     # triangle count: edges/oriented are checkpointed leaves, so the
     # multi-reference DAG stays ~6 exchanges instead of re-expanding
     "graph_triangle_count": dict(max_exchanges=8, max_python=0),
+    # lateness histogram (two-phase scan): chunk agg + tiny prefix
+    # window + per-chunk window + bucket agg — no single-task stage
+    # over the full feed
+    "cdc_lateness_histogram": dict(
+        max_exchanges=5, max_python=0, max_read_cols=2
+    ),
+    # Q3 shape: segment dim broadcast (pushed filter), orders⋈lineitem
+    # the lone shuffle pair, TakeOrdered top-k
+    "orders_shipping_priority": dict(
+        max_exchanges=3, max_python=0, need_pushed=True, max_read_cols=5
+    ),
+    # Q5 shape: supplier/nation/region chain broadcast; exchanges are
+    # fact-sized only (custkey, orderkey, final 25-key agg)
+    "regional_supplier_volume": dict(
+        max_exchanges=5, max_python=0, need_pushed=True, max_read_cols=4
+    ),
+    # KN counts: bigram explode narrow; type-distinct is the only
+    # corpus-sized shuffle, everything after is vocab-bounded
+    "lm_kneser_ney_counts": dict(max_python=0, max_scans=3, max_read_cols=1),
 }
 
 
