@@ -705,3 +705,61 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_leaked"),
     )
+
+
+@register(
+    "corpus_temperature_weights",
+    oracle="""
+    WITH n AS (
+        SELECT source,
+               SUM(len(list_filter(string_split(text, ' '),
+                                   x -> x <> '')))::BIGINT AS n_tokens
+        FROM documents GROUP BY 1
+    ), w AS (
+        SELECT source, n_tokens,
+               CAST(floor(sqrt(n_tokens::DOUBLE)) AS BIGINT) AS weight
+        FROM n
+    )
+    SELECT source, n_tokens, weight,
+           CAST(weight AS DOUBLE)
+               / CAST((SELECT SUM(weight) FROM w) AS DOUBLE) AS sample_prob
+    FROM w
+    """,
+    doc="temperature-sampled mixture weights (alpha = 1/2, the "
+    "multilingual-LM rebalancing rule: sample probability proportional "
+    "to size^alpha so small sources are upweighted): per-source token "
+    "counts, INTEGER sqrt weights (floor of the correctly-rounded IEEE "
+    "sqrt — both engines agree bit-for-bit), and sample_prob as one "
+    "IEEE divide of two exact integers — the denominator is an integer "
+    "sum, so no float accumulation order exists to drift",
+    survey_ref="tokens-axis mixture design (Conneau & Lample 2019 "
+    "exponential-smoothing sampling; used by XLM-R/mT5 — public "
+    "literature); feeds corpus_mixture_upsample's repeat factors",
+)
+def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One map-side-combined agg to source grain (a handful of rows),
+    then the total rides back as a 1-row broadcast. The alpha=1/2
+    power is computed in INTEGER space (floor-sqrt) precisely so the
+    normalizing sum is exact — a float-weight sum would make
+    sample_prob depend on aggregation order."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n = d.groupBy("source").agg(
+        F.sum(ntok).cast("long").alias("n_tokens")
+    )
+    w = n.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("long")
+        .alias("weight"),
+    ).localCheckpoint()
+    tot = w.agg(F.sum("weight").alias("tw"))
+    return w.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "weight",
+        (F.col("weight").cast("double") / F.col("tw").cast("double")).alias(
+            "sample_prob"
+        ),
+    )

@@ -421,3 +421,89 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_edges.crossJoin(counts).select(
         "n_edges", "n_wedges", "n_triangles"
     )
+
+
+@register(
+    "graph_label_prop_step",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT user_id,
+               event_type, CAST(date_trunc('day', ts) AS DATE) AS d
+        FROM events
+    ), adj AS (
+        SELECT user_id AS u,
+               LEAD(user_id) OVER (
+                   PARTITION BY event_type, d ORDER BY user_id
+               ) AS v
+        FROM cells
+    ), edges AS (
+        SELECT DISTINCT u, v FROM adj WHERE v IS NOT NULL
+    ), sym AS (
+        SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges
+    ), votes AS (
+        SELECT u AS node, v % 4 AS lbl, COUNT(*)::BIGINT AS cnt
+        FROM sym GROUP BY 1, 2
+    ), ranked AS (
+        SELECT node, lbl, cnt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY node ORDER BY cnt DESC, lbl ASC
+               ) AS rn
+        FROM votes
+    )
+    SELECT node, lbl::BIGINT AS new_label, cnt AS votes
+    FROM ranked WHERE rn = 1
+    """,
+    doc="one label-propagation step (Raghavan et al. 2007) on the "
+    "co-occurrence graph: each node adopts the most frequent label "
+    "among its neighbors (ties -> smallest label), seed labels = "
+    "node id mod 4 so the step is closed-form checkable; the same "
+    "path-encoded edge set as graph_triangle_count, so the edge list "
+    "stays linear in the input",
+    survey_ref="graph family third primitive (components = "
+    "dedup_cluster_canonical, rank = pagerank_iteration, communities "
+    "= this); one iteration = the fixpoint loop body, same per-step "
+    "plan the connected-components driver runs",
+)
+def graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Votes = symmetrized-edge groupBy (ONE corpus-sized exchange on
+    the node; the neighbor's seed label is ARITHMETIC — v % 4 — so no
+    label-table join exists to shuffle); the argmax window shares the
+    node partitioning, so Catalyst reuses the exchange. At 10^9 edges
+    each LP iteration is exactly one shuffle."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).distinct()
+    wadj = W.partitionBy("event_type", "d").orderBy("user_id")
+    # edges feeds both union branches; checkpoint it so the cells
+    # subtree computes once (the graph_triangle_count discipline)
+    edges = (
+        cells.select(
+            F.col("user_id").alias("u"),
+            F.lead("user_id").over(wadj).alias("v"),
+        )
+        .where(F.col("v").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    votes = sym.groupBy(
+        F.col("u").alias("node"), (F.col("v") % 4).alias("lbl")
+    ).agg(F.count("*").alias("cnt"))
+    ranked = votes.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+        ),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "node",
+        F.col("lbl").cast("long").alias("new_label"),
+        F.col("cnt").alias("votes"),
+    )

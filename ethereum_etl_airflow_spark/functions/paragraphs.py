@@ -112,3 +112,89 @@ def dedup_paragraph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("cleaned_text"),
     )
+
+
+#: a window is boilerplate when it occurs in at least this many docs
+_BOILER_DF = 4
+
+
+@register(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    pars AS (
+        SELECT doc_id,
+               CAST((s - 1) // {_PAR} AS BIGINT) AS par_idx,
+               array_to_string(list_slice(w, s, s + {_PAR} - 1), ' ') AS par
+        FROM words, unnest(range(1, len(w) + 1, {_PAR})) AS t(s)
+        WHERE len(w) > 0
+    ),
+    df AS (
+        SELECT par, COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM pars GROUP BY 1
+    ),
+    mark AS (
+        SELECT p.doc_id, p.par_idx, p.par,
+               (d.n_docs >= {_BOILER_DF}) AS boiler
+        FROM pars p JOIN df d ON p.par = d.par
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           coalesce(string_agg(CASE WHEN NOT boiler THEN par END, ' '
+                               ORDER BY par_idx), '') AS cleaned_text
+    FROM mark
+    GROUP BY doc_id
+    """,
+    doc=f"boilerplate removal by document frequency (CCNet-style): "
+    f"segment into {_PAR}-word windows, a window occurring in >= "
+    f"{_BOILER_DF} distinct docs is boilerplate (nav bars, footers, "
+    "license blurbs) and is stripped from EVERY document — unlike "
+    "dedup_paragraph_exact, which keeps the first occurrence; both "
+    "removal modes exist in production pipelines and they compose",
+    survey_ref="CCNet (Wenzek et al. 2020) / RefinedWeb line-frequency "
+    "filtering; segmentation + reassembly shares "
+    "dedup_paragraph_exact's plan; tokens-axis cleanup before "
+    "bpe_encode_corpus",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment (narrow codegen map) -> per-window distinct-doc count
+    (one content-keyed shuffle, partial distinct combines map-side) ->
+    join the df back on the SAME key (exchange reuse; boilerplate
+    keys are by definition the hottest and stay bounded by doc count)
+    -> reassemble per doc (one uniform shuffle). No Python anywhere."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .where(F.size("w") > 0)
+    )
+    pars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w), {_PAR}), "
+                f"s -> struct(CAST((s - 1) DIV {_PAR} AS BIGINT) AS par_idx, "
+                f"array_join(slice(w, s, {_PAR}), ' ') AS par))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.par_idx", "p.par")
+    df = pars.groupBy("par").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs")
+    )
+    mark = pars.join(df, "par").withColumn(
+        "boiler", F.col("n_docs") >= _BOILER_DF
+    )
+    kept = F.when(~F.col("boiler"), F.struct("par_idx", "par"))
+    return mark.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x["par"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

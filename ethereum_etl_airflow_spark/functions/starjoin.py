@@ -169,3 +169,184 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("long").alias("n_items"),
         )
     )
+
+
+@register(
+    "part_supplier_diversity",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           p.p_size AS psize,
+           COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 2, 3, 4, 5)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2
+    """,
+    doc="supplier diversity per part group (TPC-H Q16 shape): "
+    "COUNT(DISTINCT) over a dim-decorated fact with a NOT-IN "
+    "exclusion list — the exclusion is a broadcast anti-join (never a "
+    "shuffle), part is a broadcast dim with the size predicate pushed "
+    "to its scan, and the distinct-agg is the lone fact-sized "
+    "exchange (partial distinct combines map-side)",
+    survey_ref="A4 COUNT(DISTINCT) + P6 NOT-IN + J2 dim decoration in "
+    "one plan; reference token-holder uniqueness counts "
+    "(enrich-stage aggregating views)",
+)
+def part_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against the filtered supplier list FIRST (smallest
+    surviving fact), then the part broadcast, then one
+    distinct-aggregate. NOT IN over a non-null key column is exactly
+    an anti-join (no null-semantics trap: s_suppkey is the PK)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size").isin(1, 2, 3, 4, 5))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(bad),
+            li["l_suppkey"] == bad["s_suppkey"],
+            "left_anti",
+        )
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "orders_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-07-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-10-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY 1
+    """,
+    doc="order-priority check (TPC-H Q4 shape): correlated EXISTS with "
+    "a cross-table inequality (shipped after the order date), "
+    "decorrelated to a LEFT SEMI join carrying the extra predicate in "
+    "the join condition — no subquery re-execution per row, one "
+    "shuffle pair on orderkey with the quarter predicate pushed to "
+    "the orders scan, then a 5-key count",
+    survey_ref="P7 manual decorrelation generalized beyond the simple "
+    "IN form (semi_join_in_subquery): the semi-join condition mixes "
+    "equality and inequality; reference *_have_latest.sql existence "
+    "probes",
+)
+def orders_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-with-correlated-inequality = left_semi join whose ON
+    clause carries both the key equality and the l_shipdate >
+    o_orderdate comparison; Catalyst keeps the date-range filter in
+    the orders scan (PushedFilters) and the semi join discards
+    lineitem payload columns before the shuffle."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-10-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+
+
+@register(
+    "orders_pareto_cumshare",
+    oracle="""
+    WITH rev AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_custkey AS custkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), cum AS (
+        SELECT nationkey, custkey, r,
+               SUM(r) OVER (
+                   PARTITION BY nationkey
+                   ORDER BY r DESC, custkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c,
+               SUM(r) OVER (PARTITION BY nationkey) AS tot
+        FROM rev
+    )
+    SELECT nationkey, custkey,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS DOUBLE)
+               AS cum_share,
+           (5 * (c - r) < 4 * tot) AS in_top80
+    FROM cum
+    """,
+    doc="Pareto concentration per nation: customers ranked by revenue, "
+    "exact-decimal cumulative sum, in_top80 = customer starts before "
+    "the 80% revenue boundary — decided by the exact integer-decimal "
+    "cross-multiplication 5*(cum-r) < 4*total, never a float compare; "
+    "cum_share is display-only (two exact decimals, one IEEE divide)",
+    survey_ref="A-family agg + W-family ordered window; the "
+    "concentration audit behind skew decisions (key_skew_profile's "
+    "business-side twin). Scale note: partitioned by nation (bounded "
+    "fan-out); an unbounded-cardinality version uses the two-phase "
+    "chunked prefix sum of streaming/lateness.py",
+)
+def orders_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer revenue agg (one fact-sized exchange), then the
+    cumulative and total windows share the nation partitioning (one
+    more exchange); the 80% test is exact decimal arithmetic."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r"))
+    )
+    from pyspark.sql import Window as W
+
+    wcum = (
+        W.partitionBy("nationkey")
+        .orderBy(F.desc("r"), F.asc("custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("nationkey")
+    cum = rev.select(
+        "nationkey",
+        "custkey",
+        "r",
+        F.sum("r").over(wcum).alias("c"),
+        F.sum("r").over(wtot).alias("tot"),
+    )
+    return cum.select(
+        "nationkey",
+        "custkey",
+        F.col("r").cast("double").alias("revenue"),
+        (F.col("c").cast("double") / F.col("tot").cast("double")).alias(
+            "cum_share"
+        ),
+        (5 * (F.col("c") - F.col("r")) < 4 * F.col("tot")).alias("in_top80"),
+    )

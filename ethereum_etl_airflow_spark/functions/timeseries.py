@@ -217,3 +217,66 @@ def events_ewma_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("ewma"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n,
+               SUM(c)::BIGINT AS s,
+               SUM(c * c)::BIGINT AS q
+        FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.d, d.c,
+           ((st.n * d.c - st.s) * (st.n * d.c - st.s)
+              > 9 * (st.n * st.q - st.s * st.s)) AS is_anomaly
+    FROM daily d JOIN stats st ON d.event_type = st.event_type
+    """,
+    doc="volume-anomaly flags on the daily event-count series: a day "
+    "is anomalous iff |z| > 3 against its own series' mean/stddev — "
+    "evaluated as the cross-multiplied EXACT integer inequality "
+    "(n*c - s)^2 > 9*(n*q - s^2), so no float mean/variance ever "
+    "exists to drift between engines (the vocab_drift_splits "
+    "discipline applied to second moments)",
+    survey_ref="feed-health monitoring the reference polls by hand "
+    "(*_have_latest.sql sensors generalize to a z-test per series); "
+    "lineage-metrics consumer — SURVEY §2.10 completeness family",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two map-side-combined aggregates (day grain, then series grain
+    — the second input is #days rows) and a broadcast join of the
+    per-series moment triple (n, s, q) back onto the daily rows. At
+    10^10 events the only corpus-sized stage is the first agg; the
+    z-test itself touches #series*#days rows."""
+    ev = _t(spark, sf_dir, "events")
+    # daily is referenced twice (moments + the join back); checkpoint
+    # makes it a plan leaf so the corpus is scanned ONCE (the
+    # graph_triangle_count discipline — on a cluster, checkpoint dir)
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+        )
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "d",
+        "c",
+        (dev * dev > 9 * var_n2).alias("is_anomaly"),
+    )

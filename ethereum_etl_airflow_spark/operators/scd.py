@@ -187,3 +187,97 @@ def cdc_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lateness_histogram(
         ev, arrival_col="arrival", ts_col="ts", chunk_size=4096
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH cut AS (SELECT MAX(event_id) // 2 AS c FROM events),
+    st AS (
+        SELECT user_id AS doc_id,
+               MAX(event_id) AS n_seq,
+               max_by(event_type, event_id) AS n_op,
+               MAX(CASE WHEN event_id <= cut.c THEN event_id END) AS o_seq,
+               max_by(CASE WHEN event_id <= cut.c THEN event_type END,
+                      CASE WHEN event_id <= cut.c THEN event_id END) AS o_op
+        FROM events, cut GROUP BY 1
+    ), cls AS (
+        SELECT doc_id, o_seq, n_seq,
+               (o_seq IS NOT NULL AND o_op <> 'error') AS has_old,
+               (n_op <> 'error') AS has_new
+        FROM st
+    )
+    SELECT doc_id,
+           CASE WHEN NOT has_old THEN 'insert'
+                WHEN NOT has_new THEN 'delete'
+                ELSE 'update' END AS change,
+           CASE WHEN has_old THEN o_seq END AS old_seq,
+           CASE WHEN has_new THEN n_seq END AS new_seq
+    FROM cls
+    WHERE (has_old OR has_new)
+      AND NOT (has_old AND has_new AND o_seq = n_seq)
+    """,
+    doc="snapshot diff between two feed positions (cut = half the max "
+    "sequence, and the head) computed in ONE keyed aggregate: per key, "
+    "max_by gives the LWW winner at the head and — via the "
+    "null-when-past-the-cut conditional — the winner at the cut, so "
+    "BOTH snapshot states fall out of a single shuffle with no "
+    "self-join and no second scan; rows classify insert/update/delete "
+    "with 'error' heads treated as deletes (the cdc_lww_fold rule) and "
+    "unchanged keys suppressed",
+    survey_ref="the relational twin of operators/changes.table_changes "
+    "(CDF between versions) — merge_table.sql:1-15 delete-insert "
+    "semantics diffed instead of applied; J4 full-outer classification "
+    "folded into A2 arg-max",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The naive form is two LWW folds + a full outer join (three
+    exchanges); folding the cut predicate into conditional max/max_by
+    aggregates collapses it to ONE exchange on the key — at 10^10
+    events the diff costs exactly what one fold costs. The cut scalar
+    is a 1-row broadcast (no driver round-trip ordering hazard:
+    max(event_id) is deterministic)."""
+    ev = _t(spark, sf_dir, "events")
+    cut = ev.agg(F.expr("max(event_id) DIV 2").alias("c"))
+    in_cut = F.col("event_id") <= F.col("c")
+    st = (
+        ev.join(F.broadcast(cut))
+        .groupBy(F.col("user_id").alias("doc_id"))
+        .agg(
+            F.max("event_id").alias("n_seq"),
+            F.expr("max_by(event_type, event_id)").alias("n_op"),
+            F.max(F.when(in_cut, F.col("event_id"))).alias("o_seq"),
+            F.expr(
+                "max_by(CASE WHEN event_id <= c THEN event_type END,"
+                " CASE WHEN event_id <= c THEN event_id END)"
+            ).alias("o_op"),
+        )
+    )
+    has_old = F.col("o_seq").isNotNull() & (F.col("o_op") != "error")
+    has_new = F.col("n_op") != "error"
+    return (
+        st.select(
+            "doc_id",
+            "o_seq",
+            "n_seq",
+            has_old.alias("has_old"),
+            has_new.alias("has_new"),
+        )
+        .where(
+            (F.col("has_old") | F.col("has_new"))
+            & ~(
+                F.col("has_old")
+                & F.col("has_new")
+                & (F.col("o_seq") == F.col("n_seq"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.when(~F.col("has_old"), F.lit("insert"))
+            .when(~F.col("has_new"), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+            F.when(F.col("has_old"), F.col("o_seq")).alias("old_seq"),
+            F.when(F.col("has_new"), F.col("n_seq")).alias("new_seq"),
+        )
+    )

@@ -1432,6 +1432,8 @@ from ethereum_etl_airflow_spark.operators import scd as _scd  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import editdist as _editdist  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import hybrid as _hybrid  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import starjoin as _starjoin  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import pca as _pca  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import semdedup as _semdedup  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

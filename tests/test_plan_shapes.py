@@ -210,6 +210,59 @@ EXPECTATIONS = {
     # KN counts: bigram explode narrow; type-distinct is the only
     # corpus-sized shuffle, everything after is vocab-bounded
     "lm_kneser_ney_counts": dict(max_python=0, max_scans=3, max_read_cols=1),
+    # PCA power step: projection fold + posexplode feed a map-side-
+    # combined 64-key agg — ONE exchange, one scan, one column read
+    "embedding_pca_power_iter": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=1
+    ),
+    # z-score anomalies: the day-grain agg runs once into a
+    # checkpointed leaf (corpus scanned ONCE); series moments
+    # broadcast back onto the tiny daily table
+    "events_anomaly_zscore": dict(
+        max_exchanges=3, max_python=0, max_scans=0, max_read_cols=0
+    ),
+    # snapshot diff: BOTH snapshot states fold in a single keyed
+    # aggregate (conditional max/max_by) — one exchange, no self-join
+    "cdc_snapshot_diff": dict(
+        max_exchanges=2, max_python=0, max_scans=2, max_read_cols=3
+    ),
+    # Q16 shape: exclusion anti-join + part dim both broadcast; the
+    # distinct-agg is the lone fact-sized exchange pair
+    "part_supplier_diversity": dict(
+        max_exchanges=2, max_python=0, need_pushed=True, max_read_cols=3
+    ),
+    # SemDeDup: assignment is a checkpointed zero-scan leaf (corpus
+    # read once); the within-cluster self-join + prune-distinct +
+    # verdict join are the only moves, all JVM
+    "semdedup_cluster_prune": dict(
+        max_exchanges=6, max_python=0, max_scans=0, max_read_cols=0
+    ),
+    # Q4 shape: correlated EXISTS decorrelated to one semi-join pair
+    # with the quarter predicate pushed to the orders scan
+    "orders_priority_exists": dict(
+        max_exchanges=4, max_python=0, need_pushed=True, max_read_cols=3
+    ),
+    # boilerplate strip: segment narrow; df agg + join share the
+    # content key; reassembly is the one doc-keyed shuffle
+    "text_boilerplate_strip": dict(
+        max_exchanges=5, max_python=0, max_scans=2, max_read_cols=2
+    ),
+    # LP step: edges checkpointed (cells subtree computes once);
+    # votes agg is the one edge-sized exchange (neighbor label is
+    # arithmetic — no label join); argmax window reuses it
+    "graph_label_prop_step": dict(
+        max_exchanges=2, max_python=0, max_scans=0, max_read_cols=0
+    ),
+    # Pareto cumshare: customer-rev agg + the nation-partitioned
+    # windows; both window passes share one exchange
+    "orders_pareto_cumshare": dict(
+        max_exchanges=5, max_python=0, max_scans=2, max_read_cols=2
+    ),
+    # temperature weights: source-grain leaf (corpus scanned once into
+    # the checkpoint) + a 1-row broadcast total
+    "corpus_temperature_weights": dict(
+        max_exchanges=2, max_python=0, max_scans=0, max_read_cols=0
+    ),
 }
 
 
