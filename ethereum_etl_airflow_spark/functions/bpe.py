@@ -55,14 +55,18 @@ def _pairs_sql(sym_cte: str) -> str:
 
 
 def _bpe_oracle(n_merges: int) -> str:
+    # Every stage CTE is MATERIALIZED: DuckDB inlines CTEs by default,
+    # and sym{r+1} references sym{r} plus best{r} twice — inlining
+    # re-expands the whole chain per reference (measured 444 s for 8
+    # rounds at sf0.01; materialized: sub-second per stage).
     stages = [
         """
-    words AS (
+    words AS MATERIALIZED (
         SELECT w AS word, COUNT(*) AS cnt FROM (
             SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE w <> '' GROUP BY w
     ),
-    sym0 AS (
+    sym0 AS MATERIALIZED (
         SELECT rtrim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, cnt
         FROM words
     )"""
@@ -71,9 +75,9 @@ def _bpe_oracle(n_merges: int) -> str:
         best = f"best{r}"
         pair = f"(SELECT pair FROM {best})"
         stages.append(f"""
-    pairs{r} AS ({_pairs_sql(f'sym{r}')}),
-    {best} AS (SELECT pair, c FROM pairs{r} ORDER BY c DESC, pair ASC LIMIT 1),
-    sym{r + 1} AS (
+    pairs{r} AS MATERIALIZED ({_pairs_sql(f'sym{r}')}),
+    {best} AS MATERIALIZED (SELECT pair, c FROM pairs{r} ORDER BY c DESC, pair ASC LIMIT 1),
+    sym{r + 1} AS MATERIALIZED (
         SELECT trim(replace(' ' || sym || ' ',
                    ' ' || COALESCE({pair}, {_NEVER}) || ' ',
                    ' ' || replace(COALESCE({pair}, {_NEVER}), ' ', '') || ' ')) AS sym,

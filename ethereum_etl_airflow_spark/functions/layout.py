@@ -101,3 +101,61 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zval"),
         F.shiftright(z, Z_BUCKET_SHIFT).alias("zbucket"),
     )
+
+
+#: compaction target: rows per rewritten file (stand-in for bytes)
+BIN_TARGET = 200
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS d,
+               COUNT(*)::BIGINT AS file_rows
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, d, file_rows,
+           (SUM(file_rows) OVER (PARTITION BY event_type ORDER BY d)
+              - file_rows) // {BIN_TARGET} AS bin_id
+    FROM files
+    """,
+    doc="minor-compaction planner: per-series delta files (one per "
+    "event_type x day, sized by row count) packed into rewrite bins "
+    "by cumulative-sum division — bin_id = floor(cum_before / "
+    f"{BIN_TARGET}), the deterministic sorted-packing every LSM-ish "
+    "lake maintenance pass runs before rewriting small files",
+    survey_ref="maintenance family sibling of the snapshot sink's "
+    "compaction thresholds (sinks/snapshot_table.py compact()) and "
+    "zorder_layout_key — this is the PLANNING step as an oracle-"
+    "checked query; ref analogue: load-stage file consolidation "
+    "(build_load_dag.py temp-table loads)",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one fact-sized agg to file grain (map-side combined),
+    then a per-series cumsum window on #files rows — the window
+    repartitions by event_type only, never a global sort. At 10^10
+    events the planner's input is file metadata, not data: this query
+    IS the metadata pass, so the heavy stage is the synthetic file
+    derivation, not the packing."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+    ).agg(F.count("*").alias("file_rows"))
+    cum = F.sum("file_rows").over(
+        W.partitionBy("event_type").orderBy("d")
+    )
+    return files.select(
+        "event_type",
+        "d",
+        "file_rows",
+        # cum_before and the target are exact longs; floor-div via
+        # floor() stays exact (magnitudes ≪ 2^53)
+        F.floor((cum - F.col("file_rows")) / BIN_TARGET)
+        .cast("long")
+        .alias("bin_id"),
+    )

@@ -431,3 +431,77 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "bucket", "neighbor_id", "rank", "dot_scaled")
     )
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, {_IVEC_SQL} AS iv FROM embeddings
+    ), n AS (
+        SELECT vec_id, label, iv, {_NORM_SQL} AS nsq FROM e
+    ), scored AS (
+        SELECT q.vec_id AS query_id, q.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_dot_sql('q.iv', 'b.iv')} AS dot_scaled,
+               q.nsq AS norm_q, b.nsq AS norm_b
+        FROM n q JOIN n b ON b.label <> q.label
+        WHERE q.vec_id < {N_QUERIES}
+    ), ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, dot_scaled,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY {_COS_SQL} DESC, neighbor_id ASC
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, rank, dot_scaled
+    FROM ranked WHERE rank <= {TOP_K}
+    """,
+    doc="hard-negative mining for contrastive training: per query "
+    "vector, the top-k most-cosine-similar vectors with a DIFFERENT "
+    "label — the near-misses that make the strongest negatives "
+    "(in-batch negatives miss them); exact-int dot products, same "
+    "discipline as ann_topk_cosine",
+    survey_ref="training-pipeline ops: the negative-sampling leg "
+    "beside ann_topk_cosine (retrieval) and semdedup_cluster_prune "
+    "(positives); e.g. DPR/ANCE-style mining, Karpukhin et al. 2020",
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same plan as ann_topk_cosine — broadcast query side, label
+    disequality fused into the join condition so same-label pairs never
+    materialize, per-query top-k window. At corpus scale the scan side
+    streams once; swap the brute-force candidate set for the LSH-banded
+    one (dedup_embedding_cosine_lsh) when N makes exact all-query scoring
+    too hot."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", int_vec().alias("iv")
+    )
+    n = e.select("vec_id", "label", "iv", _norm_sq(F.col("iv")).alias("nsq"))
+    q = n.where(F.col("vec_id") < N_QUERIES).alias("q")
+    b = n.alias("b")
+    scored = (
+        F.broadcast(q)
+        .join(b, F.col("b.label") != F.col("q.label"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("q.label").alias("query_label"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.col("b.label").alias("neighbor_label"),
+            _dot(F.col("q.iv"), F.col("b.iv")).alias("dot_scaled"),
+            F.col("q.nsq").alias("norm_q"),
+            F.col("b.nsq").alias("norm_b"),
+        )
+    )
+    cos = F.col("dot_scaled").cast("double") / F.sqrt(
+        F.col("norm_q").cast("double") * F.col("norm_b").cast("double")
+    )
+    w = Window.partitionBy("query_id").orderBy(cos.desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", "dot_scaled",
+        )
+    )

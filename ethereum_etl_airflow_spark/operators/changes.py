@@ -58,12 +58,26 @@ class ChangesFollower:
 
 
 def table_changes(
-    table: SnapshotTable, from_version: int, to_version: int | None = None
+    table: SnapshotTable,
+    from_version: int,
+    to_version: int | None = None,
+    changelog_mode: str = "net",
 ) -> DataFrame:
     """Net row changes between two snapshot versions, as
     ``(_change_type, doc_id, <payload columns at to_version>)`` — for
     deletes the payload carries the LAST-KNOWN (from_version) values,
-    matching Delta CDF's delete image."""
+    matching Delta CDF's delete image.
+
+    ``changelog_mode="full"`` emits the Delta-CDF full contract
+    instead: updates become TWO rows — ``update_preimage`` (payload at
+    ``from_version``) + ``update_postimage`` (payload at ``to_v``) —
+    so a downstream incremental aggregate can retract the old image
+    and apply the new one. Inserts/deletes are unchanged. Same single
+    full-outer join; the second update row is an inline explode of the
+    joined row, never a second scan. The relational oracle-checked
+    twin is ``functions/cdclog.cdc_changelog_images``."""
+    if changelog_mode not in ("net", "full"):
+        raise ValueError(f"unknown changelog_mode {changelog_mode!r}")
     to_v = table.current_version() if to_version is None else to_version
     if to_v <= from_version:
         raise ValueError(f"empty change range ({from_version}, {to_v}]")
@@ -118,8 +132,40 @@ def table_changes(
         ).alias(c)
         for c in payload
     ]
+    if changelog_mode == "net":
+        return (
+            joined.withColumn("_change_type", kind)
+            .where(F.col("_change_type").isNotNull())
+            .select("_change_type", *out_cols)
+        )
+
+    # full mode: updates fan out to preimage+postimage via one inline
+    # explode over the joined row (no join-back, no second scan). The
+    # payload struct types must agree across images: columns the old
+    # schema lacks are null in the preimage.
+    def image(kind_lit, side: str):
+        fields = [
+            (
+                F.col(f"{side}.{c}")
+                if (side == "n" or c in old_all.columns)
+                else F.lit(None).cast(new_all.schema[c].dataType)
+            ).alias(c)
+            for c in payload
+        ]
+        return F.struct(F.lit(kind_lit).alias("_change_type"), *fields)
+
+    is_upd = o_here & n_here & changed
+    images = F.array(
+        F.when(~o_here & n_here, image("insert", "n")),
+        F.when(o_here & ~n_here, image("delete", "o")),
+        F.when(is_upd, image("update_preimage", "o")),
+        F.when(is_upd, image("update_postimage", "n")),
+    )
+    doc = F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id")
     return (
-        joined.withColumn("_change_type", kind)
-        .where(F.col("_change_type").isNotNull())
-        .select("_change_type", *out_cols)
+        joined.select(
+            doc, F.explode(F.filter(images, lambda x: x.isNotNull())).alias("img")
+        )
+        .select(F.col("img._change_type").alias("_change_type"), "doc_id",
+                *[F.col(f"img.{c}").alias(c) for c in payload])
     )

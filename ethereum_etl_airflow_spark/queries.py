@@ -1434,6 +1434,9 @@ from ethereum_etl_airflow_spark.functions import hybrid as _hybrid  # noqa: E402
 from ethereum_etl_airflow_spark.functions import starjoin as _starjoin  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import pca as _pca  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import semdedup as _semdedup  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import condstar as _condstar  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import curation as _curation  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import cdclog as _cdclog  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -263,6 +263,73 @@ EXPECTATIONS = {
     "corpus_temperature_weights": dict(
         max_exchanges=2, max_python=0, max_scans=0, max_read_cols=0
     ),
+    # Q14 shape: part broadcasts, both conditional sums ride ONE agg
+    # pass — the only shuffle is the <=84-key month group-agg
+    "promo_revenue_share": dict(
+        max_exchanges=1, max_python=0, max_scans=2, max_read_cols=4
+    ),
+    # Q12 shape: the orderkey join both sides need anyway (<=2 fact
+    # exchanges; AQE may broadcast the smaller fact) + the 3-key
+    # conditional agg; lateness filter fused post-join, no extra pass
+    "late_lines_by_priority": dict(
+        max_exchanges=3, max_python=0, max_scans=2, max_read_cols=4
+    ),
+    # Q19 shape: the In(p_brand...) conjunct extracted from the
+    # disjunction MUST reach a scan; part broadcasts; the group-agg is
+    # the only shuffle
+    "brand_band_disjunctive": dict(
+        max_exchanges=1, max_python=0, max_scans=2, need_pushed=True
+    ),
+    # fertility: both token counters in one narrow map over one scan;
+    # the <=|sources|-key agg is the only shuffle
+    "tokenizer_fertility_stats": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # norm z-test: norms checkpointed (table scanned once), 1-row
+    # moment triple broadcasts back — the moment agg is the only
+    # shuffle
+    "embedding_norm_outliers": dict(
+        max_exchanges=1, max_python=0, max_scans=0
+    ),
+    # exact KS: counts checkpointed leaf; everything downstream runs
+    # on the |sources| x |lengths| grid (gtot/srcs aggs, per-source
+    # ECDF window, final max agg)
+    "quality_ks_drift": dict(max_exchanges=4, max_python=0, max_scans=0),
+    # compaction planner: fact agg to file grain + the per-series
+    # cumsum window — never a global sort
+    "compaction_bin_packing": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
+    # blockhash: ONE deliberate Arrow stage hashes every payload
+    # (narrow); the collision window on the 60-bit hash is the only
+    # shuffle and it carries 8-byte rows
+    "multimodal_blockhash_dedup": dict(
+        max_exchanges=1, max_python=1, max_scans=1
+    ),
+    # full changelog: BOTH states + the pre/post fan-out ride the ONE
+    # keyed-aggregate exchange (explode over the agg output — no join
+    # back, no second scan)
+    # (2 = the keyed agg + the 1-row cut aggregate's single-partition
+    # exchange, same budget as cdc_snapshot_diff)
+    "cdc_changelog_images": dict(
+        max_exchanges=2, max_python=0, max_scans=2, max_read_cols=4
+    ),
+    # column-level patch fold: every per-column FILTER'd max/max_by
+    # rides one hash aggregate with map-side combine
+    "cdc_column_patch_fold": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=5
+    ),
+    # txn gate: the commit flag is a max window over the txn partition
+    # — one shuffle, vs the 2-exchange groupBy+join form
+    "cdc_txn_boundary_filter": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # hard negatives: query side broadcast (vec_id<Q pushed to its
+    # scan), label disequality in the join — the per-query top-k
+    # window is the only shuffle
+    "ann_hard_negatives": dict(
+        max_exchanges=1, max_python=0, max_scans=2, need_pushed=True
+    ),
 }
 
 

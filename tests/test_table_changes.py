@@ -104,3 +104,44 @@ def test_changes_follower_polls_incrementally(spark, tmp_path):
     # re-delivers the same net changes (at-least-once, consumer dedupes)
     f2 = ChangesFollower(t, from_version=0)
     assert {r["doc_id"] for r in f2.poll().collect()} == {"a", "b"}
+
+
+def test_full_changelog_emits_pre_and_post_images(spark, tmp_path):
+    """changelog_mode='full': updates become update_preimage (old
+    payload) + update_postimage (new payload) — the Delta-CDF full
+    contract a retract/apply consumer needs; inserts/deletes keep one
+    image."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    apply_changes(t, _batch(spark, [("I", "a", 1, 10), ("I", "b", 2, 20)]), "cf", 0)
+    v0 = t.current_version()
+    apply_changes(
+        t, _batch(spark, [("U", "a", 3, 11), ("D", "b", 4, None), ("I", "c", 5, 30)]),
+        "cf", 1,
+    )
+    rows = table_changes(t, v0, changelog_mode="full").collect()
+    got = {(r["_change_type"], r["doc_id"]): r["val"] for r in rows}
+    assert got[("update_preimage", "a")] == 10
+    assert got[("update_postimage", "a")] == 11
+    assert got[("delete", "b")] == 20
+    assert got[("insert", "c")] == 30
+    assert len(rows) == 4  # exactly one extra row per update
+
+
+def test_full_changelog_preimage_nulls_new_columns(spark, tmp_path):
+    """A column added between the versions is null in the preimage
+    (the old snapshot never had it) but populated in the postimage."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    apply_changes(t, _batch(spark, [("I", "a", 1, 10)]), "cf", 0)
+    v0 = t.current_version()
+    wide = _batch(spark, [("U", "a", 2, 11)]).withColumn("extra", F.lit(7))
+    apply_changes(t, wide, "cf", 1)
+    rows = {r["_change_type"]: r for r in table_changes(t, v0, changelog_mode="full").collect()}
+    assert rows["update_preimage"]["extra"] is None
+    assert rows["update_postimage"]["extra"] == 7
+
+
+def test_changelog_mode_rejects_unknown(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=2)
+    apply_changes(t, _batch(spark, [("I", "a", 1, 1)]), "cf", 0)
+    with pytest.raises(ValueError, match="changelog_mode"):
+        table_changes(t, -1, changelog_mode="bogus")
