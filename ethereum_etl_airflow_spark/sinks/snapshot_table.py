@@ -778,6 +778,7 @@ class SnapshotTable:
         new_num_buckets: int | None = None,
         properties: dict | None = None,
         sort_cols: list[str] | None = None,
+        max_retries: int = 0,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -794,6 +795,14 @@ class SnapshotTable:
         properties in the SAME atomic commit (the Iceberg
         snapshot-summary analogue) — callers use it to persist cursors
         / spec hashes transactionally with the data they describe.
+
+        ``max_retries`` > 0 lets a PURE DELTA commit that loses the
+        optimistic-concurrency race rebase onto the new head and
+        re-publish (data files are already written; only the manifest
+        re-assembles) — Iceberg's "fast appends never conflict" rule.
+        Rewriting commits (``replace_buckets``/``full_replace``) never
+        auto-retry, and a rebase is refused when the head was rebucketed
+        or already carries this (app_id, epoch).
 
         Caller owns the MERGE/fold semantics; this layer guarantees
         only atomicity + fencing (the Iceberg-commit seam).
@@ -871,72 +880,101 @@ class SnapshotTable:
             bucket_rows = {}
             new_seq_entries = {}
 
-        if full_replace:
-            # whole-table rewrite (rebucketing): the new file set IS the
-            # table; every previous bucket is dropped
-            replace_buckets = {int(b) for b in prev["bucket_files"]}
-            commit_buckets = sorted(int(b) for b in written)
-            bucket_files = dict(written)
-            written = {}
-        else:
-            commit_buckets = sorted({int(b) for b in written} | set(replace_buckets))
-            bucket_files = dict(prev["bucket_files"])
-            for b in replace_buckets:
-                new_files = written.pop(str(b), [])
-                if new_files:
-                    bucket_files[str(b)] = new_files
-                else:
-                    # compaction produced no rows (everything deleted+expired)
-                    bucket_files.pop(str(b), None)
-            for b, new_files in written.items():  # pure deltas: append
-                bucket_files[b] = bucket_files.get(b, []) + new_files
-
         schema = new_schema or self.schema()
         if schema is None:
             raise ValueError("commit needs a schema for the first commit")
-        props = dict(prev["properties"])
-        if properties:
-            props.update(properties)
-        props[f"last_epoch:{app_id}"] = epoch
-        snap = {
-            "version": self._next_version(),
-            "parent_version": prev["version"],
-            "committed_at": time.time(),
-            "schema": schema.jsonValue(),
-            "num_buckets": new_num_buckets or self.num_buckets,
-            "bucket_files": bucket_files,
-            "commit_buckets": commit_buckets,
-            "bucket_rows_written": bucket_rows,
-            "properties": props,
-            "lineage": lineage or {},
-        }
-        live = {f for fs in bucket_files.values() for f in fs}
-        seq_ranges = {
-            f: r
-            for f, r in {
-                **(prev.get("file_seq_ranges") or {}),
-                **new_seq_entries,
-            }.items()
-            if f in live
-        }
-        if seq_ranges:
-            snap["file_seq_ranges"] = seq_ranges
-        if self.bloom_bits:
-            # keep prev entries only for files still live AND written
-            # under the same bloom_bits; stale-bits entries drop (their
-            # files fall back to always-scanned — correct, never hidden)
-            prev_blooms = (
-                prev.get("file_blooms") or {}
-                if prev.get("bloom_bits") == self.bloom_bits
-                else {}
-            )
-            snap["file_blooms"] = {
-                f: w
-                for f, w in {**prev_blooms, **new_bloom_entries}.items()
+
+        def _assemble(base: dict) -> dict:
+            """Manifest for THIS commit's already-written files on top
+            of ``base`` — pure, so a CAS-lost commit can rebase onto
+            the new head and re-publish without rewriting any data."""
+            deltas = dict(written)
+            if full_replace:
+                # whole-table rewrite (rebucketing): the new file set IS
+                # the table; every previous bucket is dropped
+                commit_buckets = sorted(int(b) for b in deltas)
+                bucket_files = dict(deltas)
+                deltas = {}
+            else:
+                commit_buckets = sorted(
+                    {int(b) for b in deltas} | set(replace_buckets)
+                )
+                bucket_files = dict(base["bucket_files"])
+                for b in replace_buckets:
+                    new_files = deltas.pop(str(b), [])
+                    if new_files:
+                        bucket_files[str(b)] = new_files
+                    else:
+                        # compaction produced no rows (all deleted+expired)
+                        bucket_files.pop(str(b), None)
+            for b, new_files in deltas.items():  # pure deltas: append
+                bucket_files[b] = bucket_files.get(b, []) + new_files
+
+            props = dict(base["properties"])
+            if properties:
+                props.update(properties)
+            props[f"last_epoch:{app_id}"] = epoch
+            snap = {
+                "version": self._next_version(),
+                "parent_version": base["version"],
+                "committed_at": time.time(),
+                "schema": schema.jsonValue(),
+                "num_buckets": new_num_buckets or self.num_buckets,
+                "bucket_files": bucket_files,
+                "commit_buckets": commit_buckets,
+                "bucket_rows_written": bucket_rows,
+                "properties": props,
+                "lineage": lineage or {},
+            }
+            live = {f for fs in bucket_files.values() for f in fs}
+            seq_ranges = {
+                f: r
+                for f, r in {
+                    **(base.get("file_seq_ranges") or {}),
+                    **new_seq_entries,
+                }.items()
                 if f in live
             }
-            snap["bloom_bits"] = self.bloom_bits
-        self._publish(snap)
+            if seq_ranges:
+                snap["file_seq_ranges"] = seq_ranges
+            if self.bloom_bits:
+                # keep base entries only for files still live AND written
+                # under the same bloom_bits; stale-bits entries drop (their
+                # files fall back to always-scanned — correct, never hidden)
+                prev_blooms = (
+                    base.get("file_blooms") or {}
+                    if base.get("bloom_bits") == self.bloom_bits
+                    else {}
+                )
+                snap["file_blooms"] = {
+                    f: w
+                    for f, w in {**prev_blooms, **new_bloom_entries}.items()
+                    if f in live
+                }
+                snap["bloom_bits"] = self.bloom_bits
+            return snap
+
+        # Iceberg "fast appends never conflict": a pure delta commit
+        # that loses the CAS race can rebase onto the new head —
+        # nothing it appends depends on the base's content (the LWW
+        # fold orders by (_seq, _epoch), not commit order). Rewriting
+        # commits (compaction / rebucket) replaced base content, so a
+        # lost race there must surface to the caller for recompute.
+        retries = max_retries
+        while True:
+            snap = _assemble(prev)
+            try:
+                self._publish(snap)
+                break
+            except CommitConflictError:
+                if retries <= 0 or full_replace or replace_buckets:
+                    raise
+                retries -= 1
+                prev = self.snapshot()
+                if prev.get("num_buckets") != (new_num_buckets or self.num_buckets):
+                    raise  # concurrent rebucket: our _bucket layout is stale
+                if epoch <= int(prev["properties"].get(f"last_epoch:{app_id}", -1)):
+                    raise  # a racing replay already committed this epoch
         if new_num_buckets:
             self.num_buckets = new_num_buckets
         return snap

@@ -306,3 +306,95 @@ def test_tombstone_expiry_after_watermark(spark, tmp_path):
     table.expire_tombstones(watermark_seq=10)
     assert table.read_raw().where(F.col("_tombstone")).count() == 0
     assert [r[0] for r in canon_state(table.read())] == ["b"]
+
+
+def test_delta_commit_rebases_on_conflict(spark, tmp_path):
+    """Fast appends never conflict: a pure delta commit that loses the
+    CAS race (another writer advanced the head between its base read
+    and its publish) rebases onto the new head with max_retries > 0 —
+    both writers' rows survive, no data files are rewritten."""
+    import pyspark.sql.functions as F
+
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import (
+        CommitConflictError,
+        SnapshotTable,
+        bucket_expr,
+    )
+
+    def rows(spark, ids, seq):
+        df = spark.createDataFrame(
+            [(d, seq, seq * 10) for d in ids], "doc_id string, _seq long, val long"
+        )
+        return df.select(
+            "doc_id", "_seq", F.col("_seq").alias("_epoch"),
+            F.lit(False).alias("_tombstone"), "val",
+        ).withColumn("_bucket", bucket_expr(F.col("doc_id"), 4))
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    base = rows(spark, ["a", "b"], 1)
+    t.commit(base, set(), "w1", epoch=0, new_schema=base.drop("_bucket").schema)
+
+    # interleave: just before w1's second publish, w2 commits — w1's
+    # base snapshot goes stale and its CAS fails on the first attempt
+    other = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    state = {"raced": False}
+    orig_publish = t._publish
+
+    def racy_publish(snap):
+        if not state["raced"]:
+            state["raced"] = True
+            other.commit(rows(spark, ["c"], 2), set(), "w2", epoch=0)
+        return orig_publish(snap)
+
+    t._publish = racy_publish
+    # without retries the lost race surfaces
+    with pytest.raises(CommitConflictError):
+        t.commit(rows(spark, ["d"], 3), set(), "w1", epoch=1)
+    # with retries it rebases: every writer's rows are present
+    state["raced"] = False
+    t._publish = racy_publish
+    snap = t.commit(rows(spark, ["e"], 4), set(), "w1", epoch=2, max_retries=2)
+    got = {r["doc_id"] for r in t.read().collect()}
+    # the failed epoch-1 commit wrote files but never published, so d
+    # is orphaned (never visible); both surviving writers' rows are
+    assert got == {"a", "b", "c", "e"}
+    # rebased manifest sits on the concurrent head, not the stale base
+    assert snap["parent_version"] > 1
+
+
+def test_delta_rebase_refuses_replayed_epoch(spark, tmp_path):
+    """If the racing writer already committed this (app_id, epoch), a
+    rebase would double-apply — the conflict must surface instead."""
+    import pyspark.sql.functions as F
+
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import (
+        CommitConflictError,
+        SnapshotTable,
+        bucket_expr,
+    )
+
+    def rows(spark, ids, seq):
+        df = spark.createDataFrame(
+            [(d, seq, seq * 10) for d in ids], "doc_id string, _seq long, val long"
+        )
+        return df.select(
+            "doc_id", "_seq", F.col("_seq").alias("_epoch"),
+            F.lit(False).alias("_tombstone"), "val",
+        ).withColumn("_bucket", bucket_expr(F.col("doc_id"), 4))
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    base = rows(spark, ["a"], 1)
+    t.commit(base, set(), "w", epoch=0, new_schema=base.drop("_bucket").schema)
+    other = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=4)
+    orig_publish = t._publish
+    state = {"raced": False}
+
+    def racy_publish(snap):
+        if not state["raced"]:
+            state["raced"] = True
+            other.commit(rows(spark, ["x"], 2), set(), "w", epoch=1)  # same app+epoch
+        return orig_publish(snap)
+
+    t._publish = racy_publish
+    with pytest.raises(CommitConflictError):
+        t.commit(rows(spark, ["y"], 3), set(), "w", epoch=1, max_retries=5)
