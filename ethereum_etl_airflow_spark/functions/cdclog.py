@@ -234,3 +234,63 @@ def cdc_txn_boundary_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c") == 1)
         .drop("c")
     )
+
+
+#: portable bucket fan-out for the watermark audit (the table's real
+#: buckets use Spark xxhash64 — hashing.bucket_of — which DuckDB can't
+#: evaluate; the md5-family phash60 is the cross-engine stand-in)
+WM_BUCKETS = 8
+
+
+@register(
+    "cdc_safe_watermark",
+    oracle=f"""
+    WITH b AS (
+        SELECT (('0x' || substr(md5(CAST(user_id AS STRING)), 1, 15))::BIGINT)
+                   % {WM_BUCKETS} AS bucket,
+               event_id
+        FROM events
+    ), heads AS (
+        SELECT bucket, MAX(event_id) AS head_seq, COUNT(*) AS n_events
+        FROM b GROUP BY bucket
+    )
+    SELECT bucket, head_seq, n_events,
+           MIN(head_seq) OVER () AS safe_watermark,
+           head_seq - MIN(head_seq) OVER () AS lag_behind_head
+    FROM heads
+    """,
+    doc="safe-watermark derivation: per-partition (bucket) head "
+    "sequence, the GLOBAL safe point = min over buckets — no event "
+    "older than it can still arrive once every partition passed it, so "
+    "tombstones below it are GC-safe (SnapshotTable.expire_tombstones' "
+    "input) and readers below it see immutable history; per-bucket lag "
+    "exposes the straggler partition that holds the watermark back",
+    survey_ref="§2.10 watermark/lateness + M3 delete/GC: the watermark "
+    "FEEDING expire_tombstones, derived the way Kafka-consumer / "
+    "streaming engines take min-across-partitions of per-partition "
+    "high-water marks; ref analogue: block-range completeness sensors "
+    "gating loads (build_export_dag wait sensors)",
+)
+def cdc_safe_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one hash aggregate to bucket grain (map-side combined —
+    the fact never shuffles more than B partial rows per task), then
+    the global-min window over B=8 rows. At 10^10 events this is the
+    cheapest possible full-feed audit: O(input) scan, O(buckets)
+    everything else."""
+    from ethereum_etl_airflow_spark.functions.hashing import phash60
+
+    ev = _t(spark, sf_dir, "events")
+    heads = ev.groupBy(
+        (phash60(F.col("user_id").cast("string")) % WM_BUCKETS).alias("bucket")
+    ).agg(
+        F.max("event_id").alias("head_seq"),
+        F.count("*").alias("n_events"),
+    )
+    w = W.partitionBy()
+    return heads.select(
+        "bucket",
+        "head_seq",
+        "n_events",
+        F.min("head_seq").over(w).alias("safe_watermark"),
+        (F.col("head_seq") - F.min("head_seq").over(w)).alias("lag_behind_head"),
+    )

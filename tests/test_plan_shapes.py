@@ -330,6 +330,12 @@ EXPECTATIONS = {
     "ann_hard_negatives": dict(
         max_exchanges=1, max_python=0, max_scans=2, need_pushed=True
     ),
+    # safe watermark: one map-side-combined agg to bucket grain, the
+    # global-min window runs over B=8 rows (its single-partition
+    # exchange carries 8 rows — bounded, not fact-sized)
+    "cdc_safe_watermark": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
 }
 
 
