@@ -268,6 +268,65 @@ class ChangeLogTailer:
         total_s = sum(li["wall_sec"] for li in self.applied)
         return round(total_ev / total_s, 2) if total_s else None
 
+    # ---------------------------------------------------------- bootstrap
+
+    def bootstrap_from_state(self, state_df, upto_epoch: int) -> dict:
+        """Debezium-style initial snapshot: seed an EMPTY table with an
+        existing consistent state (folded rows INCLUDING per-row
+        ``_seq`` versions — another table's ``read_raw()``, or a source
+        dump with its change positions) and fence every epoch <=
+        ``upto_epoch`` in the same atomic commit, so
+        ``replay_batches()``/``run_stream`` resume from the first
+        unseen batch instead of re-reading history.
+
+        Convergence never DEPENDS on the skip — the LWW fold is
+        idempotent, so replaying history over a bootstrap is merely
+        wasted work — the skip is what makes "snapshot then stream"
+        O(state) + O(tail) instead of O(full history). Keeping the
+        source's own ``_seq`` (not a synthetic one) preserves the
+        ordering contract: a late feed event older than the
+        bootstrapped row's version still loses the fold. Bypasses the
+        WAP gate and quarantine (a bootstrap is a trusted bulk load,
+        not an untrusted feed batch)."""
+        from pyspark.sql import functions as F
+
+        from ethereum_etl_airflow_spark.sinks.snapshot_table import bucket_expr
+
+        if self.table.exists() and self.table.current_version() >= 0:
+            raise ValueError("bootstrap_from_state requires an empty table")
+        missing = {"doc_id", "_seq"} - set(state_df.columns)
+        if missing:
+            raise ValueError(f"bootstrap state missing columns {sorted(missing)}")
+        out = state_df
+        if "_epoch" not in out.columns:
+            out = out.withColumn("_epoch", F.lit(upto_epoch).cast("long"))
+        if "_tombstone" not in out.columns:
+            out = out.withColumn("_tombstone", F.lit(False))
+        out = out.withColumn(
+            "_bucket", bucket_expr(F.col("doc_id"), self.table.num_buckets)
+        )
+        snap = self.table.commit(
+            out,
+            replace_buckets=set(),
+            app_id=self.app_id,
+            epoch=upto_epoch,  # fences all history <= upto_epoch atomically
+            new_schema=out.drop("_bucket").schema,
+            lineage={"op": "bootstrap", "upto_epoch": upto_epoch},
+        )
+        li = {
+            "app_id": self.app_id,
+            "epoch": upto_epoch,
+            "op": "bootstrap",
+            "snapshot_version": snap["version"],
+            "rows": sum(int(n) for n in snap.get("bucket_rows_written", {}).values()),
+            # bulk-loaded state rows are not feed events: zero here
+            # keeps total_events_per_sec an honest tail-only metric
+            "events_in": 0,
+            "wall_sec": 0.0,
+        }
+        self._record_lineage(li)
+        return li
+
     # ------------------------------------------------------- batch replay
 
     def replay_batches(self, start: int = 0, end: int | None = None) -> list[dict]:
