@@ -193,13 +193,20 @@ class IncrementalAggView:
 
     # -------------------------------------------------------------- read
 
+    _EMPTY = "doc_id string, sum_val decimal(38,6), cnt long"
+
     def read(self) -> DataFrame:
-        """Consumer view: (doc_id=group key, sum_val decimal, cnt)."""
+        """Consumer view: (doc_id=group key, sum_val decimal, cnt).
+        Empty before the first upstream commit is folded."""
+        if not self.table.exists() or self.table.current_version() < 0:
+            return self.spark.createDataFrame([], self._EMPTY)
         return self.table.read().select("doc_id", "sum_val", "cnt")
 
     def recompute(self) -> DataFrame:
         """From-scratch reference aggregate over the upstream's current
         state — the invariant ``read() == recompute()`` the tests pin."""
+        if not self.upstream.exists() or self.upstream.current_version() < 0:
+            return self.spark.createDataFrame([], self._EMPTY)
         return (
             self.upstream.read()
             .groupBy(F.col(self.key_col).cast("string").alias("doc_id"))

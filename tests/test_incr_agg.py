@@ -110,3 +110,61 @@ def test_multi_batch_catchup_in_one_cycle(spark, tmp_path):
     assert got["g1"] == (Decimal("9.000000"), 1)
     assert got["g2"] == (Decimal("4.000000"), 1)
     _check(view)
+
+
+# ---------------------------------------------------------------------------
+# Property-based IVM equivalence: for ANY insert/update/delete event
+# sequence split across arbitrary view polls, the delta-maintained
+# aggregate equals a from-scratch recompute at every poll point.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_DOCS = ["a", "b", "c", "d"]
+_GRPS = ["g1", "g2", "g3"]
+
+
+@st.composite
+def _op_log(draw):
+    n = draw(st.integers(min_value=1, max_value=20))
+    events = []
+    for seq in range(1, n + 1):
+        doc = draw(st.sampled_from(_DOCS))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        grp = None if op == "D" else draw(st.sampled_from(_GRPS))
+        val = None if op == "D" else draw(st.integers(-5, 20))
+        events.append((op, doc, seq, grp, val))
+    n_chunks = draw(st.integers(1, 3))
+    bounds = sorted(
+        draw(st.lists(st.integers(0, n), min_size=n_chunks - 1, max_size=n_chunks - 1))
+    )
+    chunks, prev = [], 0
+    for b in bounds + [n]:
+        chunks.append(events[prev:b])
+        prev = b
+    return chunks
+
+
+@given(_op_log())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_view_equals_recompute_for_any_op_log(spark, tmp_path_factory, chunks):
+    root = tmp_path_factory.mktemp("ivm")
+    up = SnapshotTable(spark, str(root / "up"), num_buckets=4)
+    view = IncrementalAggView(
+        spark, up, str(root / "agg"), key_col="grp", val_col="val", num_buckets=4
+    )
+    epoch = 0
+    for chunk in chunks:
+        if chunk:
+            apply_changes(up, _batch(spark, chunk), "feed", epoch)
+            epoch += 1
+        view.run_until_caught_up()
+        # the view must equal a from-scratch recompute AT EVERY poll
+        # point, not just at the end (intermediate states matter to
+        # downstream consumers of the view's own CDF)
+        assert _as_dict(view.read()) == _as_dict(view.recompute())
