@@ -338,3 +338,95 @@ def quality_filter_by_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("quality_score") >= F.col("p10"))
         .select("doc_id", "source", "quality_score", "p10")
     )
+
+
+#: winnowing parameters: k-gram size (words) and window width. The
+#: winnowing guarantee: every window of W consecutive k-grams
+#: contributes >= 1 fingerprint, so any match of length >= W+k-1
+#: words between two docs shares a fingerprint (Schleimer, Wilkerson
+#: & Aiken, SIGMOD 2003 — the MOSS algorithm; public literature).
+WINNOW_K = 2
+WINNOW_W = 4
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(ws) - {WINNOW_K - 1}),
+                   i -> {phash60_sql(
+                       "array_to_string(ws[i:i+" + str(WINNOW_K - 1) + "], ' ')"
+                   )}) AS h
+        FROM t WHERE len(ws) >= {WINNOW_K}
+    ), sel AS (
+        SELECT doc_id, h,
+               list_distinct(list_transform(
+                   generate_series(1, len(h) - {WINNOW_W - 1}),
+                   i -> list_max(list_filter(
+                            generate_series(i, i + {WINNOW_W - 1}),
+                            j -> h[j] = list_min(h[i:i+{WINNOW_W - 1}])))
+               )) AS keep
+        FROM g WHERE len(h) >= {WINNOW_W}
+    )
+    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, h[p] AS fp
+    FROM sel, unnest(keep) AS k(p)
+    """,
+    doc=f"winnowing document fingerprints (MOSS): {WINNOW_K}-gram "
+    f"hashes, rightmost-minimum selected per {WINNOW_W}-wide window, "
+    "consecutive duplicates collapsed — every window contributes a "
+    "fingerprint, so any shared passage of >= "
+    f"{WINNOW_W + WINNOW_K - 1} words between two documents shares a "
+    "(pos-independent) fp value; the local-algorithm guarantee SimHash "
+    "(global) and span-ngram dedup (exact spans) don't give",
+    survey_ref="training-pipeline fingerprint family: local sibling "
+    "of text_fingerprint (SimHash, global) and dedup_span_ngrams "
+    "(exact spans); Schleimer/Wilkerson/Aiken SIGMOD'03 (public "
+    "algorithm spec, no code reused)",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: ONE narrow JVM projection per doc (k-gram hash array,
+    per-window rightmost-argmin via filter+array_max inside transform,
+    distinct, explode) — zero shuffles at any corpus size; the output
+    is the (doc_id, pos, fp) posting list a plagiarism/overlap join
+    buckets on fp downstream."""
+    d = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda w: w != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (WINNOW_K - 1)),
+        lambda i: phash60(
+            F.concat_ws(" ", *[F.element_at("ws", i + k) for k in range(WINNOW_K)])
+        ),
+    )
+    # rightmost index of the window minimum, window starting at i
+    def rightmost_min(i):
+        win = F.slice("h", i, WINNOW_W)
+        mn = F.array_min(win)
+        return F.array_max(
+            F.filter(
+                F.sequence(i, i + (WINNOW_W - 1)),
+                lambda j: F.element_at("h", j) == mn,
+            )
+        )
+
+    keep = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("h") - (WINNOW_W - 1)), rightmost_min
+        )
+    )
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .where(F.size("ws") >= WINNOW_K)
+        .select("doc_id", grams.alias("h"))
+        .where(F.size("h") >= WINNOW_W)
+        .select("doc_id", "h", F.explode(keep).alias("p"))
+        .select(
+            "doc_id",
+            (F.col("p") - 1).cast("long").alias("pos"),
+            F.element_at("h", F.col("p")).alias("fp"),
+        )
+    )

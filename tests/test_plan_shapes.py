@@ -336,6 +336,11 @@ EXPECTATIONS = {
     "cdc_safe_watermark": dict(
         max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
     ),
+    # winnowing: pure per-doc projection (k-gram hash array, window
+    # argmin, explode) — zero shuffles at any corpus size
+    "text_winnow_fingerprints": dict(
+        max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2
+    ),
 }
 
 
