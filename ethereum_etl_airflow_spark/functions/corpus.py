@@ -763,3 +763,67 @@ def corpus_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_prob"
         ),
     )
+
+
+@register(
+    "tokens_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT {TOKENIZE_V}
+        )
+    ), vl AS (
+        SELECT list(token) AS arr FROM vocab
+    ), per_src AS (
+        SELECT d.source,
+               SUM(len(list_filter(string_split(d.text, ' '),
+                   w -> NOT list_contains(vl.arr, w))))::BIGINT AS oov_tokens,
+               SUM(len(string_split(d.text, ' ')))::BIGINT AS total_tokens
+        FROM documents d, vl GROUP BY d.source
+    )
+    SELECT source, total_tokens, oov_tokens,
+           CAST(oov_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS oov_rate
+    FROM per_src
+    """,
+    doc=f"vocabulary coverage audit: per-source OOV token counts and "
+    f"rate against the learned top-{TOKENIZE_V} vocab — the "
+    "acceptance gate for a tokenizer on a mixed-source corpus (a "
+    "source with a high OOV rate degrades to UNK soup under "
+    "corpus_tokenize_vocab's encode); pairs with "
+    "tokenizer_fertility_stats as the vocab-selection diagnostics",
+    survey_ref="tokens payload (input_hint): coverage audit of the "
+    "corpus_tokenize_vocab encode contract; one exact integer ratio "
+    "(single IEEE divide of two exact longs, same on both engines)",
+)
+def tokens_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the vocab is the same bounded top-V collect the encode
+    uses (driver scalar by design); coverage is then ONE narrow map
+    (per-doc OOV count via a literal-array membership filter) + one
+    <=|sources|-key aggregate — no explode, no join, one shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOKENIZE_V)
+        .collect()
+    )
+    vocab_arr = F.array(*[F.lit(r["token"]) for r in counts])
+    ws = F.split(F.col("text"), " ")
+    oov = F.size(F.filter(ws, lambda w: ~F.array_contains(vocab_arr, w)))
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(ws)).cast("long").alias("total_tokens"),
+        F.sum(oov).cast("long").alias("oov_tokens"),
+    )
+    return per_src.select(
+        "source",
+        "total_tokens",
+        "oov_tokens",
+        (
+            F.col("oov_tokens").cast("double") / F.col("total_tokens").cast("double")
+        ).alias("oov_rate"),
+    )

@@ -341,6 +341,13 @@ EXPECTATIONS = {
     "text_winnow_fingerprints": dict(
         max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2
     ),
+    # vocab coverage: literal-array membership (the bounded top-V
+    # collect happens at build time), one narrow map + the
+    # <=|sources|-key agg — one exchange, no join, no explode in the
+    # coverage pass (the learn agg is the build-time collect's plan)
+    "tokens_vocab_coverage": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2
+    ),
 }
 
 
