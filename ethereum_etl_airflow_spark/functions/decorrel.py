@@ -1,0 +1,289 @@
+"""Correlated-subquery decorrelation shapes: TPC-H Q13/Q15/Q21/Q22
+analogues.
+
+The reference leans on manual decorrelation — its parse SQL rewrites
+correlated IN subqueries to explicit JOINs behind a magic comment
+(dags/resources/stages/parse/sqls/parse_logs.sql:10-20, "avoid
+correlated subquery error") because BigQuery refuses them. These four
+queries cover the decorrelation vocabulary that the reference's
+rewrite style implies but never exercises end-to-end, expressed
+DataFrame-first so the *decorrelated* plan is declared directly
+instead of hoping an optimizer finds it:
+
+* **order-count distribution (Q13 shape)** — LEFT OUTER JOIN with a
+  join-side-only predicate, then a two-level aggregation (count per
+  key, then histogram of counts). The filter on the null-supplying
+  side must be applied BELOW the outer join (pushing it above would
+  turn absent customers into dropped rows, not zero counts).
+* **sole-late supplier (Q21 shape)** — the canonical EXISTS +
+  NOT-EXISTS double correlation, decorrelated into per-(order,
+  supplier) and per-order aggregates joined back: a supplier is
+  "solely to blame" for a multi-supplier order iff they are late and
+  the order's distinct-late-supplier count is exactly 1. One
+  fact⋈fact join, every later aggregate/join reuses the orderkey
+  hash partitioning (zero extra exchanges).
+* **idle high-balance customers (Q22 shape)** — scalar-aggregate
+  subquery (global average balance) + correlated NOT EXISTS
+  (anti-join on recent orders), grouped by segment.
+* **top-revenue suppliers (Q15 shape)** — an aggregate compared
+  against the MAX over the same aggregate (`rev = (SELECT MAX(rev)
+  ...)`): revenue stays DECIMAL end-to-end so the equality join is
+  exact, and only the final output casts to DOUBLE.
+
+Float discipline: money sums aggregate as DECIMAL(38,6); Q15's
+max-equality compares decimals (exact); Q22's threshold is ONE double
+division of two exact aggregates, applied identically on both engines.
+
+Scale notes (100 TB): every query has exactly one fact-sized exchange
+pair (the orderkey/custkey join or the suppkey agg); all downstream
+aggregates are key-compatible with that partitioning, so Catalyst
+inserts no further exchanges. Dimension sides (supplier, the 1-row
+scalar aggregates) broadcast. The Q21 decorrelated form is the plan a
+hand-tuned warehouse would pick: the naive correlated form re-scans
+lineitem twice per outer row; this form scans it once.
+
+Reference parity: manual decorrelation discipline
+(parse_logs.sql:10-20); anti-join-as-NOT-MATCHED (merge_table.sql);
+TPC-H shapes are public benchmark definitions (specification, not
+code). SURVEY §2.2 P6/P7, §2.3 J7 + anti-join row, §2.4 A7/A8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ethereum_etl_airflow_spark.queries import _t, register
+
+#: lateness bound: a line shipped more than 60 days after the order
+#: date counts as late (the synthetic ship lag tops out ~3 months, so
+#: 60 days keeps the predicate selective but non-degenerate)
+_LATE_DAYS = 60
+
+
+@register(
+    "orders_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    """,
+    doc="Q13 shape: customers histogrammed by their non-urgent order "
+    "count — LEFT OUTER JOIN with the priority filter applied on the "
+    "null-supplying side BELOW the join (zero-order customers survive "
+    "as c_count=0), COUNT(col) null-skipping, two-level aggregation",
+    survey_ref="TPC-H Q13 (public spec); LEFT JOIN J6 + A7; reference "
+    "left-join enrichment (uniswap_v2_swaps_with_slippage.sql:12)",
+)
+def orders_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: orders filtered at the scan (predicate pushed), one
+    custkey exchange pair for the outer join; the per-customer count
+    reuses the join's hash partitioning (no third exchange) and the
+    histogram agg moves only |distinct counts| rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "suppliers_sole_late",
+    oracle=f"""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE l1.l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL {_LATE_DAYS} DAY)
+    GROUP BY s_name
+    """,
+    doc="Q21 shape: late lines of the SOLE late supplier on "
+    "multi-supplier finished orders — EXISTS + NOT EXISTS double "
+    "correlation, decorrelated into per-(order,supplier) / per-order "
+    "aggregates joined back (late AND n_supp>1 AND n_late_supp=1); "
+    "oracle keeps the correlated form to pin semantic equivalence",
+    survey_ref="TPC-H Q21 (public spec); manual decorrelation "
+    "discipline parse_logs.sql:10-20; SURVEY §2.2 P7",
+)
+def suppliers_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated single-pass plan: ONE lineitem⋈orders join on
+    orderkey; the per-(order,supp) flag aggregate AND the per-order
+    supplier census (expressed as unbounded window aggregates, not an
+    agg + join-back — the join-back form would recompute the whole
+    fact join subtree) both reuse that orderkey hash partitioning, so
+    Catalyst adds no further exchanges; supplier broadcasts; the
+    final s_name agg moves |suppliers| rows. The correlated form the
+    oracle runs would re-scan lineitem twice per outer row."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    flagged = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), _LATE_DAYS))
+        .cast("int")
+        .alias("late"),
+    )
+    per_os = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("late").alias("n_late_lines"),
+        F.max("late").alias("any_late"),
+    )
+    w = W.partitionBy("l_orderkey")
+    qual = per_os.select(
+        "*",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum("any_late").over(w).alias("n_late_supp"),
+    ).where(
+        (F.col("any_late") == 1)
+        & (F.col("n_supp") > 1)
+        & (F.col("n_late_supp") == 1)
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
+
+
+@register(
+    "idle_customers_above_avg",
+    oracle="""
+    WITH thresh AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer CROSS JOIN thresh
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_mktsegment
+    """,
+    doc="Q22 shape: high-balance customers with no recent orders, per "
+    "segment — scalar-aggregate threshold (avg positive balance, ONE "
+    "double division of exact aggregates) + correlated NOT EXISTS "
+    "decorrelated to a left-anti join on the date-filtered orders",
+    survey_ref="TPC-H Q22 (public spec); anti-join-as-NOT-MATCHED "
+    "(merge_table.sql); SURVEY §2.3 anti-join row, §2.4 A8",
+)
+def idle_customers_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the 1-row threshold aggregate broadcasts into a filter;
+    recent orders are date-pruned AT THE SCAN before the anti join
+    (the anti side carries only keys); customer is the smaller side
+    throughout. The segment agg moves ≤|segments| rows."""
+    cust = _t(spark, sf_dir, "customer")
+    thresh = (
+        cust.where(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_bal")
+        )
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(thresh)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                   AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM rev
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="Q15 shape: supplier(s) with the maximum quarterly revenue — "
+    "an aggregate equated to the MAX over the same aggregate; revenue "
+    "stays DECIMAL through the equality (exact tie semantics), cast "
+    "to DOUBLE only in the output",
+    survey_ref="TPC-H Q15 (public spec); scalar-agg assertion A8; "
+    "reference top-k rich-list (sqls/ether_balances.sql:27-29)",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the quarter predicate pushes to the parquet scan; one
+    suppkey agg exchange; the 1-row MAX broadcasts back onto the
+    (reused, not recomputed twice — Spark caches nothing here but the
+    agg is |suppliers|-sized, so the second pass is free at any
+    scale); supplier broadcasts for the name join."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        ).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_rev == top.max_rev)
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )

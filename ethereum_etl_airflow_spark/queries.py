@@ -1437,6 +1437,9 @@ from ethereum_etl_airflow_spark.functions import semdedup as _semdedup  # noqa: 
 from ethereum_etl_airflow_spark.functions import condstar as _condstar  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import curation as _curation  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import cdclog as _cdclog  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import decorrel as _decorrel  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import dsir as _dsir  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import gopher as _gopher  # noqa: E402,F401
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -348,6 +348,44 @@ EXPECTATIONS = {
     "tokens_vocab_coverage": dict(
         max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2
     ),
+    # Q13 shape: priority filter pushed below the outer join; the
+    # per-customer count reuses the join's custkey partitioning, so
+    # the only exchanges are the join pair... and the tiny histogram
+    "orders_count_distribution": dict(
+        max_exchanges=3, max_python=0, max_scans=2, need_pushed=True,
+        max_read_cols=3,
+    ),
+    # Q21 shape: ONE orderkey join; the (order,supp) agg and the
+    # per-order census WINDOW both reuse its partitioning (the agg +
+    # join-back form would recompute the fact join subtree twice)
+    "suppliers_sole_late": dict(
+        max_exchanges=3, max_python=0, max_scans=3, need_pushed=True,
+        max_read_cols=3,
+    ),
+    # Q22 shape: 1-row threshold broadcast; recent orders date-pruned
+    # AT THE SCAN before the anti join
+    "idle_customers_above_avg": dict(
+        max_exchanges=3, max_python=0, max_scans=3, need_pushed=True,
+        max_read_cols=3,
+    ),
+    # Q15 shape: quarter predicate pushed; one suppkey agg exchange;
+    # MAX and supplier both broadcast
+    "top_revenue_suppliers": dict(
+        max_exchanges=3, max_python=0, max_scans=3, need_pushed=True,
+        max_read_cols=4,
+    ),
+    # DSIR: same shape as text_unigram_surprisal — term agg (raw +
+    # target counts in ONE conditional pass), 1-row totals broadcast,
+    # dictionary join back, per-doc agg
+    "dsir_importance_weights": dict(
+        max_exchanges=4, max_python=0, max_scans=3, max_read_cols=3
+    ),
+    # Gopher census: all rule booleans from array combinators in one
+    # narrow JVM map (no explode); the |sources|-key agg is the only
+    # shuffle
+    "quality_gopher_census": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2
+    ),
 }
 
 
