@@ -386,6 +386,20 @@ EXPECTATIONS = {
     "quality_gopher_census": dict(
         max_exchanges=1, max_python=0, max_scans=1, max_read_cols=2
     ),
+    # greedy k-center: qe/d1/d2 are checkpointed leaves (table scans
+    # ONCE; naive DAG re-expansion hit 31 scans); remaining exchanges
+    # carry 1-row scalar aggregates + the ≤K-group census
+    "kcenter_coreset_select": dict(
+        max_exchanges=4, max_python=0, max_scans=0
+    ),
+    # MinHash calibration: signature fold shuffle-free per doc, band
+    # self-join + sig join-backs broadcast at the candidate grain
+    "minhash_estimate_audit": dict(max_exchanges=2, max_python=0),
+    # salted join: fact salt is a narrow map, dim replication an
+    # inline explode — the group-agg is the only fact-sized exchange
+    "join_salted_skew": dict(
+        max_exchanges=2, max_python=0, max_scans=2, max_read_cols=3
+    ),
 }
 
 
