@@ -287,3 +287,282 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_rev").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Second decorrelation wave: Q17/Q18/Q11/Q2/Q20 shapes. The synthetic
+# star schema has no partsupp table, so the three partsupp queries are
+# reframed over the (l_partkey, l_suppkey) grain of lineitem — the
+# decorrelation SHAPE (the thing under test) is unchanged: a correlated
+# scalar aggregate (Q17), an IN + HAVING subquery (Q18), a HAVING
+# against a scalar subquery (Q11), a groupwise-MIN equality (Q2), and a
+# two-level correlated share threshold (Q20).
+#
+# Exactness discipline: l_quantity is integral (pinned by the probe in
+# the session notes), so every quantity comparison is cross-multiplied
+# into pure integer arithmetic (5·n·qty < Σqty instead of qty < 0.2·avg)
+# — bit-identical on both engines, no float-boundary coin flips. Money
+# aggregates stay DECIMAL(38,6) until the output cast.
+
+
+@register(
+    "small_qty_avg_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+               AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND 5 * l_quantity *
+          (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        < (SELECT SUM(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="Q17 shape: revenue of small-quantity lines (below 20% of the "
+    "part's average order quantity) for one brand — correlated scalar "
+    "AVG decorrelated to one per-part (sum,count) aggregate joined "
+    "back; the 0.2·avg threshold is cross-multiplied to exact integers "
+    "(5·n·qty < Σqty) so both engines decide boundaries identically",
+    survey_ref="TPC-H Q17 (public spec); manual decorrelation "
+    "discipline parse_logs.sql:10-20; SURVEY §2.2 P7, §2.4 A8",
+)
+def small_qty_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the brand filter lives in the broadcast part dim and cuts
+    lineitem before any shuffle (a Brand#4 part's lines are all its
+    lines, so the correlated aggregate's scope survives the
+    pre-filter). The per-part (sum, count) is an unbounded WINDOW over
+    partkey rather than an agg + join-back — ONE scan of the fact,
+    one partkey exchange, then the 1-row final aggregate. The
+    correlated form the oracle runs re-scans lineitem twice per outer
+    row."""
+    from pyspark.sql import Window as W
+
+    brand_parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lb = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    w = W.partitionBy("l_partkey")
+    small = lb.select(
+        "l_quantity",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("sum_qty"),
+        F.count("*").over(w).alias("n_lines_part"),
+    ).where(
+        F.lit(5) * F.col("l_quantity") * F.col("n_lines_part") < F.col("sum_qty")
+    )
+    return small.agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+            / 7.0
+        ).alias("avg_yearly"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           (SELECT SUM(l_quantity) FROM lineitem
+            WHERE l_orderkey = o_orderkey) AS sum_qty
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+    """,
+    doc="Q18 shape: customers with orders totaling more than 250 units "
+    "— IN subquery with a HAVING aggregate, decorrelated to ONE "
+    "per-order quantity aggregate that serves both the gate and the "
+    "output column (the oracle computes it twice, correlated)",
+    survey_ref="TPC-H Q18 (public spec); SURVEY §2.2 P6 IN-subquery, "
+    "§2.4 A7 HAVING; reference top-k rich list ether_balances.sql",
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: per-order quantity aggregate (one orderkey exchange) with
+    the HAVING filter applied at the aggregate — the join sees only
+    surviving orders (~0.2% of them), so AQE broadcasts the probe into
+    the orders join; the customer join moves only surviving rows.
+    sum_qty is integral-exact in double."""
+    oq = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        oq.join(orders, oq.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+@register(
+    "part_revenue_concentration",
+    oracle="""
+    WITH pr AS (
+        SELECT l_partkey AS p_partkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS r
+        FROM lineitem GROUP BY 1)
+    SELECT p_partkey, CAST(r AS DOUBLE) AS revenue
+    FROM pr
+    WHERE CAST(r AS DOUBLE) * (SELECT COUNT(*) FROM pr)
+        > CAST((SELECT SUM(r) FROM pr) AS DOUBLE) * 1.2
+    """,
+    doc="Q11 shape: parts whose revenue exceeds 1.2x the mean per-part "
+    "revenue — GROUP BY + HAVING against a scalar subquery over the "
+    "same aggregate; the threshold is self-normalizing (scale-free, "
+    "unlike Q11's 0.0001/SF literal) and compared as revenue*n_parts > "
+    "total*1.2, one deterministic double multiply per side",
+    survey_ref="TPC-H Q11 (public spec); scalar-agg assertion A8 + "
+    "HAVING A7; SURVEY §2.4",
+)
+def part_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one partkey aggregate exchange; the |parts|-sized result
+    is localCheckpointed (bounded — it is the aggregate, not the fact)
+    because BOTH the scalar (count, total) pair and the output read it,
+    and a naive DAG would re-expand the fact scan per reference
+    (kcenter.py discipline); the scalars broadcast back as a
+    crossJoin — the fact table is scanned once."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    pr = (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("r")
+        )
+        .localCheckpoint()
+    )
+    totals = pr.agg(
+        F.count("*").alias("n_parts"),
+        F.sum("r").cast("double").alias("total_rev"),
+    )
+    return (
+        pr.crossJoin(F.broadcast(totals))
+        .where(
+            F.col("r").cast("double") * F.col("n_parts")
+            > F.col("total_rev") * 1.2
+        )
+        .select("p_partkey", F.col("r").cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "part_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY 1, 2)
+    SELECT p_partkey, p_name, s_suppkey, s_name, min_price
+    FROM cost JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size >= 48
+      AND min_price = (SELECT MIN(c2.min_price) FROM cost c2
+                       WHERE c2.l_partkey = cost.l_partkey)
+    """,
+    doc="Q2 shape: for each large part, the supplier(s) offering the "
+    "minimum observed price — groupwise-MIN equality (the correlated "
+    "form in the oracle) decorrelated to a per-part MIN window over "
+    "the (part,supplier) aggregate; MIN is pure selection (no "
+    "arithmetic) so double equality is exact, and ties keep all "
+    "minimal suppliers on both engines",
+    survey_ref="TPC-H Q2 (public spec); groupwise-min join-back; "
+    "SURVEY §2.2 P7, §2.5 W1 family",
+)
+def part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: the p_size filter lives in the broadcast part dim and cuts
+    lineitem BEFORE the aggregate (the correlated MIN ranges within one
+    part, so per-part scope is preserved); one (part,supp) aggregate
+    exchange, one partkey window exchange (the grain change forces it),
+    dims broadcast. The oracle's correlated form re-aggregates cost
+    per outer row."""
+    from pyspark.sql import Window as W
+
+    parts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_size") >= 48)
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    lf = li.join(F.broadcast(parts.select("p_partkey")), li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    cost = lf.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    part_min = F.min("min_price").over(W.partitionBy("l_partkey"))
+    best = cost.withColumn("part_min", part_min).where(
+        F.col("min_price") == F.col("part_min")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(parts), best.l_partkey == parts.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price")
+    )
+
+
+@register(
+    "excess_share_suppliers",
+    oracle="""
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red %'),
+    ps AS (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q
+        FROM lineitem JOIN red ON p_partkey = l_partkey
+        GROUP BY 1, 2)
+    SELECT s_suppkey, s_name, COUNT(*) AS n_parts
+    FROM ps JOIN supplier ON s_suppkey = l_suppkey
+    WHERE 8 * q > (SELECT SUM(q2.q) FROM ps q2
+                   WHERE q2.l_partkey = ps.l_partkey)
+    GROUP BY 1, 2
+    """,
+    doc="Q20 shape: suppliers shipping more than 1/8 of any red part's "
+    "total volume — two-level correlated aggregate (per-(part,supp) "
+    "share vs per-part total) decorrelated to one aggregate plus a "
+    "partkey window sum; the 12.5% share test is cross-multiplied to "
+    "exact integers (8q > Σq)",
+    survey_ref="TPC-H Q20 (public spec); two-level decorrelation "
+    "parse_logs.sql:10-20; SURVEY §2.2 P7 + key-prefix P4 analogue",
+)
+def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: red parts broadcast into the scan (narrow); one
+    (part,supp) aggregate exchange; per-part totals as a window over
+    partkey (grain change, second exchange — both carry only the
+    aggregate, never raw lines); supplier broadcasts; the final
+    supplier census moves only qualifying pairs."""
+    from pyspark.sql import Window as W
+
+    red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    lr = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+    ps = lr.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("q"))
+    tq = F.sum("q").over(W.partitionBy("l_partkey"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        ps.withColumn("tq", tq)
+        .where(F.lit(8) * F.col("q") > F.col("tq"))
+        .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_parts"))
+    )

@@ -400,6 +400,27 @@ EXPECTATIONS = {
     "join_salted_skew": dict(
         max_exchanges=2, max_python=0, max_scans=2, max_read_cols=3
     ),
+    # Q17 shape: brand filter rides the broadcast dim; the per-part
+    # (sum,count) is a WINDOW over partkey (one fact scan, one
+    # exchange) + the 1-row final agg — the correlated form would
+    # rescan per outer row
+    "small_qty_avg_revenue": dict(
+        max_exchanges=2, max_python=0, max_scans=2, max_read_cols=3
+    ),
+    # Q18 shape: the HAVING gate applies AT the per-order aggregate,
+    # so the two joins move only surviving (~0.2%) rows
+    "large_volume_customers": dict(max_exchanges=5, max_python=0, max_scans=3),
+    # Q11 shape: one partkey agg; the scalar (count,total) broadcasts
+    # back — the fact table is scanned once
+    "part_revenue_concentration": dict(
+        max_exchanges=4, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # Q2 shape: (part,supp) agg + partkey window (the grain change is
+    # the only second exchange); both dims broadcast
+    "part_min_cost_supplier": dict(max_exchanges=3, max_python=0, max_read_cols=3),
+    # Q20 shape: (part,supp) agg + partkey window + supplier census —
+    # every exchange carries aggregates, never raw lines
+    "excess_share_suppliers": dict(max_exchanges=3, max_python=0, max_read_cols=3),
 }
 
 
