@@ -415,3 +415,67 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_union.alias("n_union"),
         )
     )
+
+
+@register(
+    "lsh_index_probe_lifecycle",
+    oracle=incremental_lsh_sql(INCR_BATCH_MOD, INCR_BATCH_REM),
+    doc="the MAINTAINED near-dup index end-to-end: corpus loaded into a "
+    "CDC table in two commits with an incremental band-index refresh "
+    "after each, then the incoming batch probed through the index's "
+    "bucket-pruned path and exact-Jaccard verified — must equal the "
+    "stateless two-sided band join the oracle computes",
+    survey_ref="operators/lsh_index.py lifecycle; M2 ingest x MinHash "
+    "dedup; the operator form of dedup_incremental_lsh",
+)
+def lsh_index_probe_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``dedup_incremental_lsh`` but the corpus side
+    lives in a :class:`NearDupIndex` SnapshotTable maintained by TWO
+    incremental snapshot-diff refreshes (so the refresh path, not just
+    the probe, is under the oracle); the probe reads only the batch's
+    band buckets. O(batch) at any corpus size."""
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.operators.lsh_index import NearDupIndex
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    is_new = (F.col("doc_id") % INCR_BATCH_MOD) == INCR_BATCH_REM
+    existing, batch = d.where(~is_new), d.where(is_new)
+
+    hi = existing.agg(F.max("doc_id")).collect()[0][0]
+    changes = existing.select(
+        F.lit("I").alias("op"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").alias("seq"),
+        "text",
+    )
+    root = tempfile.mkdtemp(prefix="lsh_index_")
+    table = SnapshotTable(spark, f"{root}/t", num_buckets=8)
+    idx = NearDupIndex(table, f"{root}/ix", num_buckets=8)
+    mid = int(hi) // 2
+    apply_changes(table, changes.where(F.col("seq") <= mid), "lsh", epoch=0)
+    idx.refresh()  # first build
+    apply_changes(table, changes.where(F.col("seq") > mid), "lsh", epoch=1)
+    idx.refresh()  # incremental diff refresh
+
+    cand = idx.probe(batch.select(F.col("doc_id").cast("string").alias("doc_id"), "text")).select(
+        F.col("doc_new").cast("long").alias("doc_new"),
+        F.col("doc_existing").cast("long").alias("doc_existing"),
+    )
+    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+    tn, te = sh.alias("tn"), sh.alias("te")
+    n_common = F.size(F.array_intersect(F.col("tn.sh"), F.col("te.sh")))
+    n_union = F.size(F.array_distinct(F.concat(F.col("tn.sh"), F.col("te.sh"))))
+    return (
+        cand.join(tn, F.col("tn.doc_id") == F.col("doc_new"))
+        .join(te, F.col("te.doc_id") == F.col("doc_existing"))
+        .where(n_common.cast("double") / n_union >= JACCARD_THRESHOLD)
+        .select(
+            "doc_new",
+            "doc_existing",
+            n_common.cast("long").alias("n_common"),
+            n_union.cast("long").alias("n_union"),
+        )
+    )

@@ -98,6 +98,7 @@ class ChangeLogTailer:
         audit_checks: list | None = None,
         audit_scope: str = "commit",
         transform=None,
+        derived_views: list | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -148,6 +149,15 @@ class ChangeLogTailer:
         # ``envelope_to_changes``). Must be a narrow DataFrame->
         # DataFrame map so the decoded batch stays one scan.
         self.transform = transform
+        # opt-in derived maintainers that ride the ingest loop: any
+        # object with ``refresh() -> dict | None`` whose cursor fences
+        # on the target's snapshot version (NearDupIndex,
+        # SecondaryIndex, IncrementalAggView, CdfFollower...). Each is
+        # refreshed after every applied batch, so derived state lags
+        # main by at most one batch; a crash between the table commit
+        # and a refresh is self-healing (the next refresh's diff spans
+        # both versions), and replayed batches are no-ops end to end.
+        self.derived_views = derived_views or []
         self._staged_handle: SnapshotTable | None = None
         self.applied: list[dict] = []
 
@@ -246,6 +256,22 @@ class ChangeLogTailer:
         from ethereum_etl_airflow_spark.verify import run_checks
 
         lineage["checks"] = run_checks(self.table.read(), self.post_batch_checks)
+
+    def _refresh_derived(self, lineage: dict) -> None:
+        """Advance every registered derived maintainer to the table's
+        new head; per-view refresh info joins the batch lineage. Both
+        maintainer protocols are accepted: ``refresh()`` (the index
+        family) and ``run_until_caught_up()`` (the CDF-view family)."""
+        if not self.derived_views:
+            return
+        out = []
+        for v in self.derived_views:
+            if hasattr(v, "refresh"):
+                info = v.refresh()
+            else:
+                info = v.run_until_caught_up()
+            out.append({"view": type(v).__name__, "info": info})
+        lineage["derived"] = out
 
     # ------------------------------------------------------------- lineage
 
@@ -360,6 +386,7 @@ class ChangeLogTailer:
                         table_stats.distinct_estimate(self.table, self.track_ndv), 1
                     )
                 self._run_post_checks(lineage)
+                self._refresh_derived(lineage)
                 self._record_lineage(lineage)
                 results.append(lineage)
         return results
@@ -414,6 +441,7 @@ class ChangeLogTailer:
             lineage = self._apply(batch_df, stream_app, epoch_id)
             if lineage is not None:
                 self._run_post_checks(lineage)
+                self._refresh_derived(lineage)
                 self._record_lineage(lineage)
 
         writer = (
