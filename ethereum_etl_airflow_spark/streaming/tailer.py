@@ -355,6 +355,22 @@ class ChangeLogTailer:
 
     # ------------------------------------------------------- batch replay
 
+    def rewind(self, epoch: int) -> dict | None:
+        """Chain-reorg recovery: roll the table back to the state as of
+        feed batch ``epoch`` and reset the epoch fence, atomically
+        (operators/reorg.py). Registered derived views catch up on the
+        rewind commit like on any other. After replacing the orphaned
+        ``batch-(epoch+1)..`` feed directories with corrected ones,
+        ``replay_batches()`` re-applies them exactly-once."""
+        from ethereum_etl_airflow_spark.operators.reorg import rewind_to_epoch
+
+        info = rewind_to_epoch(self.table, self.app_id, epoch)
+        if info is not None:
+            lineage = {"app_id": self.app_id, "epoch": epoch, "op": "reorg_rewind", **info}
+            self._refresh_derived(lineage)
+            self._record_lineage(lineage)
+        return info
+
     def replay_batches(self, start: int = 0, end: int | None = None) -> list[dict]:
         """Apply feed batches in order; fenced epochs are skipped, so a
         resumed/replayed run converges to the same final state."""

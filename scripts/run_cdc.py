@@ -43,13 +43,19 @@ def main() -> int:
     ap.add_argument("--checkpoint", default=None, help="required for --mode stream")
     ap.add_argument(
         "--mode",
-        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup"],
+        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup", "rewind"],
         default="replay",
         help="ingest modes (replay/stream) or maintenance ops on the table",
     )
     ap.add_argument("--keep-last", type=int, default=2, help="expire-snapshots retention")
     ap.add_argument("--watermark-seq", type=int, default=None, help="expire-tombstones bound")
     ap.add_argument("--rollup-root", default=None, help="stats table root for --mode rollup")
+    ap.add_argument(
+        "--rewind-epoch", type=int, default=None,
+        help="chain-reorg recovery for --mode rewind: roll the table "
+        "back to this batch epoch and reset the fence; then replace "
+        "the orphaned feed batch dirs and re-run --mode replay",
+    )
     ap.add_argument("--app-id", default="cdc")
     ap.add_argument("--buckets", type=int, default=None)
     ap.add_argument("--local", type=int, default=None, help="local[N] master (omit under spark-submit)")
@@ -101,6 +107,14 @@ def main() -> int:
         wap_branch=args.wap_branch,
         track_ndv=args.track_ndv,
     )
+
+    if args.mode == "rewind":
+        if args.rewind_epoch is None:
+            ap.error("--rewind-epoch is required for rewind")
+        info = tailer.rewind(args.rewind_epoch)
+        print(json.dumps({"op": "rewind", "result": info}))
+        spark.stop()
+        return 0
 
     if args.mode in ("compact", "expire-snapshots", "expire-tombstones", "rollup"):
         # maintenance ops (reference: clean DAG M3/M4; Iceberg table maintenance)
