@@ -479,3 +479,50 @@ def lsh_index_probe_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_union.cast("long").alias("n_union"),
         )
     )
+
+
+@register(
+    "lsh_band_skew_profile",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, {_sig_sql()} AS sig FROM t
+    ),
+    bands AS (
+        SELECT doc_id, b,
+               array_to_string(sig[{LSH_ROWS}*b + 1 : {LSH_ROWS}*b + {LSH_ROWS}], '-') AS band_key
+        FROM sig, (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS b)
+    ),
+    bkt AS (
+        SELECT b, band_key, COUNT(*) AS c FROM bands GROUP BY 1, 2
+    )
+    SELECT b,
+           COUNT(*) AS n_buckets,
+           MAX(c) AS max_bucket,
+           CAST(SUM(c * (c - 1)) // 2 AS BIGINT) AS candidate_pairs
+    FROM bkt GROUP BY b
+    """,
+    doc="LSH band-bucket skew census: per band, the bucket count, the "
+    "hottest bucket, and the exact candidate-pair mass sum c*(c-1)/2 — "
+    "the quantity that IS the band join's output size. The capacity-"
+    "planning probe run before committing a full dedup_minhash_lsh "
+    "pass (a degenerate shingle distribution shows up here as one "
+    "monster bucket, caught at aggregate cost instead of join cost)",
+    survey_ref="skew defense SURVEY §4 (ref 3,999-way RANGE_BUCKET "
+    "partitioning exists for the same hot-key reason, "
+    "build_partition_dag.py:108-140); pairs key_skew_profile",
+)
+def lsh_band_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan: one narrow signature fold + inline band explode (no
+    shuffle), then TWO bounded aggregates — (b, band_key) counts and
+    the per-band census; every exchange carries counts, never docs.
+    pair mass is pure integer arithmetic (sum(c*(c-1)) div 2)."""
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+    bands = lsh_bands(sh.select("doc_id", minhash_sig_col().alias("sig")))
+    bkt = bands.groupBy("b", "band_key").agg(F.count("*").alias("c"))
+    return bkt.groupBy("b").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.expr("sum(c * (c - 1)) div 2").alias("candidate_pairs"),
+    )

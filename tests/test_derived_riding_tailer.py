@@ -103,3 +103,21 @@ def test_crash_between_commit_and_refresh_self_heals(spark, tmp_path):
     tailer.replay_batches(start=1)
     assert idx.last_target_version() == tailer.table.current_version()
     assert _lsh_state(idx) == _lsh_rebuilt(idx)
+
+
+def test_views_ride_the_streaming_loop(spark, tmp_path):
+    """The derived_views hook also fires inside run_stream's
+    foreachBatch (availableNow drain)."""
+    feed = str(tmp_path / "feed")
+    write_feed(spark, CFG, feed)
+    tailer = ChangeLogTailer(
+        spark, feed, str(tmp_path / "t"), app_id="dvs", num_buckets=8
+    )
+    idx = NearDupIndex(
+        tailer.table, str(tmp_path / "lsh"), tokens_of=_token_strings, num_buckets=8
+    )
+    tailer.derived_views = [idx]
+    tailer.run_stream(checkpoint_dir=str(tmp_path / "cp"), available_now=True)
+    assert idx.last_target_version() == tailer.table.current_version()
+    assert _lsh_state(idx) == _lsh_rebuilt(idx)
+    assert any("derived" in li for li in tailer.applied)

@@ -421,6 +421,11 @@ EXPECTATIONS = {
     # Q20 shape: (part,supp) agg + partkey window + supplier census —
     # every exchange carries aggregates, never raw lines
     "excess_share_suppliers": dict(max_exchanges=3, max_python=0, max_read_cols=3),
+    # LSH skew census: signature fold + band explode are narrow; the
+    # two aggregates carry counts, never documents
+    "lsh_band_skew_profile": dict(
+        max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
+    ),
 }
 
 
