@@ -361,7 +361,14 @@ class ChangeLogTailer:
         (operators/reorg.py). Registered derived views catch up on the
         rewind commit like on any other. After replacing the orphaned
         ``batch-(epoch+1)..`` feed directories with corrected ones,
-        ``replay_batches()`` re-applies them exactly-once."""
+        ``replay_batches()`` re-applies them exactly-once.
+
+        Stream-mode caveat: ``run_stream``'s file-source checkpoint
+        remembers SEEN FILE PATHS, so corrected batch dirs that reuse
+        the orphaned paths would be silently skipped — after a rewind,
+        resume streaming with a FRESH checkpoint dir (the table's own
+        epoch fence, reset by the rewind, keeps the re-read
+        exactly-once; replay mode needs nothing special)."""
         from ethereum_etl_airflow_spark.operators.reorg import rewind_to_epoch
 
         info = rewind_to_epoch(self.table, self.app_id, epoch)

@@ -87,3 +87,82 @@ def test_any_event_log_replays_to_oracle_fold(spark, tmp_path_factory, case):
         for r in table.read().select("doc_id", "tokens", "n_tok", "source").collect()
     )
     assert got == oracle_fold(events)
+
+
+@st.composite
+def reorg_case(draw):
+    """A fork log split into batches, a rewind point, and a corrected
+    tail for the batches above it."""
+    n = draw(st.integers(min_value=2, max_value=20))
+    events = []
+    for seq in range(n):
+        doc = draw(st.sampled_from(DOC_IDS))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        if op == "D":
+            tokens, n_tok, source = None, None, None
+        else:
+            tokens = draw(st.lists(st.integers(0, 9), min_size=0, max_size=4))
+            n_tok = len(tokens)
+            source = draw(st.sampled_from(["web", "code"]))
+        events.append((op, doc, seq, tokens, n_tok, source))
+    # round-robin split guarantees every batch is non-empty
+    nb = draw(st.integers(2, min(4, n)))
+    batches = [events[i::nb] for i in range(nb)]
+    rewind_at = draw(st.integers(0, len(batches) - 2))
+    # corrected tail: same number of replacement batches, fresh events
+    # whose seqs reuse the orphaned range (same heights, new content)
+    orphaned = [ev for b in batches[rewind_at + 1:] for ev in b]
+    seqs = sorted({ev[2] for ev in orphaned})
+    corrected_events = []
+    for seq in seqs:
+        doc = draw(st.sampled_from(DOC_IDS))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        if op == "D":
+            tokens, n_tok, source = None, None, None
+        else:
+            tokens = draw(st.lists(st.integers(0, 9), min_size=0, max_size=4))
+            n_tok = len(tokens)
+            source = draw(st.sampled_from(["web", "code"]))
+        corrected_events.append((op, doc, seq, tokens, n_tok, source))
+    n_tail = len(batches) - rewind_at - 1
+    corrected_batches: list[list] = [[] for _ in range(n_tail)]
+    for ev in corrected_events:
+        corrected_batches[draw(st.integers(0, n_tail - 1))].append(ev)
+    return batches, rewind_at, corrected_batches
+
+
+@given(reorg_case())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_any_reorg_rewind_converges_to_canonical_fold(
+    spark, tmp_path_factory, case
+):
+    """For ANY fork log, ANY rewind point, ANY corrected tail:
+    apply fork -> rewind -> apply corrected == fold(kept ∪ corrected)."""
+    from ethereum_etl_airflow_spark.operators.reorg import rewind_to_epoch
+
+    batches, rewind_at, corrected_batches = case
+    root = str(tmp_path_factory.mktemp("reorg") / "t")
+    table = SnapshotTable(spark, root, num_buckets=4, compact_files=3)
+    for epoch, batch in enumerate(batches):
+        apply_changes(table, spark.createDataFrame(batch, SCHEMA), "prop", epoch=epoch)
+
+    rewind_to_epoch(table, "prop", epoch=rewind_at)
+    assert table.last_epoch("prop") <= rewind_at
+
+    for i, batch in enumerate(corrected_batches):
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, SCHEMA)
+        apply_changes(table, df, "prop", epoch=rewind_at + 1 + i)
+
+    kept = [ev for b in batches[: rewind_at + 1] for ev in b]
+    corrected = [ev for b in corrected_batches for ev in b]
+    got = sorted(
+        (r.doc_id, tuple(r.tokens or []), r.n_tok, r.source)
+        for r in table.read().select("doc_id", "tokens", "n_tok", "source").collect()
+    )
+    assert got == oracle_fold(kept + corrected)
