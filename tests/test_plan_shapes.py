@@ -426,6 +426,19 @@ EXPECTATIONS = {
     "lsh_band_skew_profile": dict(
         max_exchanges=2, max_python=0, max_scans=1, max_read_cols=2
     ),
+    # Q6 shape: every predicate at the scan, zero joins, 1-row fold
+    "forecast_revenue_change": dict(
+        max_exchanges=1, max_python=0, max_scans=1, need_pushed=True,
+        max_read_cols=4,
+    ),
+    # Q7/Q8/Q9 star shapes: dims broadcast (nation filters applied
+    # INSIDE the dims), one lineitem⋈orders exchange pair + the
+    # bounded group agg
+    "nation_pair_volume": dict(max_exchanges=3, max_python=0),
+    "nation_market_share": dict(max_exchanges=3, max_python=0),
+    "nation_profit_by_year": dict(max_exchanges=3, max_python=0, need_pushed=True),
+    # Q10 shape: join pair + customer join + agg + the global top-k cut
+    "returned_item_top_customers": dict(max_exchanges=6, max_python=0, need_pushed=True),
 }
 
 
