@@ -1443,6 +1443,7 @@ from ethereum_etl_airflow_spark.functions import gopher as _gopher  # noqa: E402
 from ethereum_etl_airflow_spark.functions import kcenter as _kcenter  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import mhaudit as _mhaudit  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import saltjoin as _saltjoin  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import lmscore as _lmscore  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import tpchstar as _tpchstar  # noqa: E402,F401
 
 

@@ -163,3 +163,56 @@ def test_refresh_replay_is_fenced(spark, tmp_path):
     assert idx.refresh() is None
     assert idx.index.current_version() == v
     assert _index_rows(idx) == _rebuilt_rows(idx)
+
+
+# --------------------------------------------------------------------------
+# property: ANY edit sequence keeps the incrementally-maintained index
+# equal to a from-scratch rebuild of the corpus's current state
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+_DOCS = ["d1", "d2", "d3"]
+
+
+@st.composite
+def edit_script(draw):
+    """1-3 batches of (op, doc_id, text) edits over a tiny doc universe
+    with heavily-overlapping vocabularies (shared band keys likely)."""
+    n_batches = draw(st.integers(1, 3))
+    script, seq = [], 0
+    for _ in range(n_batches):
+        n = draw(st.integers(1, 4))
+        batch = []
+        for _ in range(n):
+            seq += 1
+            doc = draw(st.sampled_from(_DOCS))
+            op = draw(st.sampled_from(["I", "U", "D"]))
+            if op == "D":
+                batch.append((op, doc, seq, None))
+            else:
+                k = draw(st.integers(0, 8))  # 0-2 tokens => unindexable
+                words = [draw(st.sampled_from(_WORDS)) for _ in range(k)]
+                batch.append((op, doc, seq, " ".join(words)))
+        script.append(batch)
+    return script
+
+
+@given(edit_script())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_any_edit_script_keeps_index_equal_to_rebuild(
+    spark, tmp_path_factory, script
+):
+    root = tmp_path_factory.mktemp("lshprop")
+    t = SnapshotTable(spark, str(root / "t"), num_buckets=4)
+    idx = NearDupIndex(t, str(root / "ix"), num_buckets=4)
+    for epoch, batch in enumerate(script):
+        apply_changes(t, _batch(spark, batch), "lshp", epoch=epoch)
+        idx.refresh()
+        assert _index_rows(idx) == _rebuilt_rows(idx)

@@ -439,6 +439,14 @@ EXPECTATIONS = {
     "nation_profit_by_year": dict(max_exchanges=3, max_python=0, need_pushed=True),
     # Q10 shape: join pair + customer join + agg + the global top-k cut
     "returned_item_top_customers": dict(max_exchanges=6, max_python=0, need_pushed=True),
+    # held-out bigram scoring: ONE scan per corpus half — ctx/uni/tv
+    # all reuse c2's shuffle (explicit notnull filters keep the four
+    # model subtrees canonically identical so ReusedExchange fires at
+    # runtime; audited on the AQE final plan). Scoring joins broadcast;
+    # final per-doc agg — never a window or sort.
+    "text_bigram_surprisal_backoff": dict(
+        max_python=0, max_scans=2, max_read_cols=2, executed=True
+    ),
 }
 
 
@@ -448,10 +456,37 @@ def plans(spark):
     out = {}
     for name in EXPECTATIONS:
         df = qs[name](spark, SF)
-        out[name] = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        if EXPECTATIONS[name].get("executed"):
+            # audit the AQE FINAL plan: exchange reuse (ReusedExchange)
+            # only materializes at runtime, so static scan counts
+            # overstate what a multi-consumer plan actually reads.
+            # collect() (not count(), which plans a separate Dataset)
+            # finalizes THIS df's AdaptiveSparkPlan; sf0.001 is tiny.
+            df.collect()
+        p = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
+        if EXPECTATIONS[name].get("executed"):
+            p = _final_plan_only(p)
+        out[name] = p
     return out
+
+
+def _final_plan_only(p: str) -> str:
+    """Restrict a post-execution formatted explain to the AQE final
+    plan: keep the tree up to the '== Initial Plan ==' echo plus only
+    the detail blocks for node ids that appear in that tree."""
+    cut = p.find("== Initial Plan ==")
+    if cut == -1:
+        return p
+    tree, rest = p[:cut], p[cut:]
+    live = set(re.findall(r"\((\d+)\)", tree))
+    kept = [
+        blk
+        for blk in rest.split("\n\n")
+        if (m := re.match(r"\((\d+)\) ", blk)) and m.group(1) in live
+    ]
+    return tree + "\n\n" + "\n\n".join(kept)
 
 
 def _audit(plan: str) -> dict:
