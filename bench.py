@@ -517,11 +517,25 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"[bench] full result written to {full_path}", file=sys.stderr)
+    # The driver tail-captures only the LAST 2000 chars of stdout (r2
+    # postmortem: BENCH_r02 recorded parsed:null because the line's head
+    # fell outside the window). The compact line must therefore fit in
+    # <2000 bytes WHOLE: per-query timings are capped to the slowest K
+    # (full detail is in BENCH_FULL.json), and if the serialized line is
+    # still too long, fields are dropped in increasing order of value
+    # until it fits.
+    slowest = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in queries.items()),
+            key=lambda kv: -kv[1],
+        )[:20]
+    )
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
-        "queries": {k: round(v, 2) for k, v in queries.items()},
+        "queries": slowest,
+        "queries_n": len(queries),
         "sf": out["sf"],
         "headline_total_sec": out["headline_total_sec"],
         "cdc_warm_eps": cdc_hi.get("warm_events_per_sec"),
@@ -531,14 +545,23 @@ def main() -> None:
         "efficiency_vs_probe": (scaling or {}).get("efficiency_vs_probe"),
         # per-attempt record: the north-rule fallback evidence ("every
         # attempt's CPU probe < 3x") must live in the captured line
-        # itself, not only in the full file
-        "scaling_attempts": (scaling or {}).get("attempts"),
+        # itself, not only in the full file (last 8; aborted attempts
+        # can make the list long)
+        "scaling_attempts": ((scaling or {}).get("attempts") or [])[-8:] or None,
         # gate readings: how many windows were checked and what the
         # host offered in each (documents WHY attempts are few/noisy)
-        "gate_probes": (scaling or {}).get("gate_probes"),
+        "gate_probes_n": len((scaling or {}).get("gate_probes") or []),
+        "gate_probes": ((scaling or {}).get("gate_probes") or [])[-12:] or None,
         "full": "BENCH_FULL.json",
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    line = json.dumps(compact, separators=(",", ":"))
+    for drop in ("gate_probes", "scaling_attempts", "queries"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        compact.setdefault("truncated", []).append(drop)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -1395,6 +1395,77 @@ def cdf_derived_follow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return follower.read().select("doc_id", "val2")
 
 
+# ---------------------------------------------------------------------------
+# Per-file column-stats file skipping: ingest in three seq-ordered
+# batches (each file's payload range is tight), then a driver-planned
+# range scan over the payload column (Iceberg lower/upper_bounds skip —
+# the date-partition predicate discipline P3 at file grain).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_stats_pruned_scan",
+    oracle="""
+    WITH b AS (
+        SELECT (MAX(event_id) * 25) // 100 AS lo,
+               (MAX(event_id) * 50) // 100 AS hi
+        FROM events
+    )
+    SELECT CAST(event_id AS VARCHAR) AS doc_id,
+           event_id AS eid,
+           CAST(value AS DOUBLE) AS val
+    FROM events, b
+    WHERE event_id BETWEEN b.lo AND b.hi
+    """,
+    doc="range scan planned from per-file column min/max stats: three "
+    "seq-ordered commits write files with tight payload ranges, then "
+    "read_where skips every file outside [25%,50%] of the id space on "
+    "the DRIVER (no Spark job to plan) and pushes the exact predicate "
+    "into the surviving scans",
+    survey_ref="P3 date-partition predicate at file grain; Iceberg "
+    "DataFile lower_bounds/upper_bounds skipping",
+)
+def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import (
+        SnapshotTable,
+        fold_lww,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    changes = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    table = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="col_stats_") + "/t",
+        num_buckets=8,
+        stats_cols=["eid"],
+    )
+    thirds = (mx // 3, 2 * mx // 3)
+    apply_changes(table, changes.where(F.col("seq") <= thirds[0]), "st", epoch=0)
+    apply_changes(
+        table,
+        changes.where((F.col("seq") > thirds[0]) & (F.col("seq") <= thirds[1])),
+        "st",
+        epoch=1,
+    )
+    apply_changes(table, changes.where(F.col("seq") > thirds[1]), "st", epoch=2)
+    lo, hi = mx * 25 // 100, mx * 50 // 100
+    return (
+        fold_lww(table.read_where("eid", lo=lo, hi=hi))
+        .where(~F.col("_tombstone"))
+        .select("doc_id", "eid", "val")
+    )
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
@@ -1444,6 +1515,8 @@ from ethereum_etl_airflow_spark.functions import kcenter as _kcenter  # noqa: E4
 from ethereum_etl_airflow_spark.functions import mhaudit as _mhaudit  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import saltjoin as _saltjoin  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import lmscore as _lmscore  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import fim as _fim  # noqa: E402,F401
+from ethereum_etl_airflow_spark.functions import linclf as _linclf  # noqa: E402,F401
 from ethereum_etl_airflow_spark.functions import tpchstar as _tpchstar  # noqa: E402,F401
 
 

@@ -105,6 +105,7 @@ class SnapshotTable:
         num_buckets: int = NUM_BUCKETS,
         compact_files: int = 8,
         bloom_bits: int = 0,
+        stats_cols: list[str] | None = None,
     ):
         """``bloom_bits`` > 0 (a multiple of 64, e.g. 4096) maintains a
         PER-FILE Bloom filter in the manifest (3 xxhash64 probes per
@@ -117,12 +118,21 @@ class SnapshotTable:
         is correct by construction — enabling blooms on a table with
         existing data never hides pre-existing keys. Costs one extra
         O(batch) aggregation per commit — enable for tables serving
-        point lookups."""
+        point lookups.
+
+        ``stats_cols`` lists payload columns whose per-file [min, max]
+        is recorded in the manifest from the parquet footers at commit
+        time (the Iceberg DataFile lower_bounds/upper_bounds analogue,
+        zero extra Spark work): :meth:`read_where` then plans the file
+        set on the driver and skips every file whose range cannot
+        match. Files committed before stats were enabled simply have
+        no entry and are always scanned — never a false skip."""
         self.spark = spark
         self.root = root
         self.num_buckets = num_buckets
         self.compact_files = compact_files
         self.bloom_bits = bloom_bits
+        self.stats_cols = list(stats_cols or [])
         if bloom_bits % 64:
             raise ValueError("bloom_bits must be a multiple of 64")
         self._meta = os.path.join(root, "_meta")
@@ -619,23 +629,36 @@ class SnapshotTable:
         from footer statistics only — None when the column is absent or
         any row group lacks exact stats (the file then stays
         always-scanned; a partial bound could cause a false skip)."""
+        r = SnapshotTable._col_range_from_footer(md, "_seq")
+        return None if r is None else [int(r[0]), int(r[1])]
+
+    @staticmethod
+    def _col_range_from_footer(md, name: str) -> list | None:
+        """[min,max] of column ``name`` across a file's row groups from
+        footer statistics only — None when the column is absent, any
+        row group lacks exact stats, or the values aren't JSON-storable
+        scalars (int/float/str). The file then stays always-scanned —
+        a partial bound could cause a false skip."""
         lo = hi = None
         for ri in range(md.num_row_groups):
             rg = md.row_group(ri)
             found = False
             for ci in range(rg.num_columns):
                 col = rg.column(ci)
-                if col.path_in_schema != "_seq":
+                if col.path_in_schema != name:
                     continue
                 found = True
                 st = col.statistics
                 if st is None or not st.has_min_max:
                     return None
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
+                mn, mx = st.min, st.max
+                if isinstance(mn, bytes) or not isinstance(mn, (int, float, str)):
+                    return None
+                lo = mn if lo is None else min(lo, mn)
+                hi = mx if hi is None else max(hi, mx)
             if not found:
                 return None
-        return None if lo is None else [int(lo), int(hi)]
+        return None if lo is None else [lo, hi]
 
     @classmethod
     def plan_seq_range(
@@ -688,6 +711,57 @@ class SnapshotTable:
                 df = df.where(F.col("_seq") >= lo)
             if hi is not None:
                 df = df.where(F.col("_seq") <= hi)
+        return df
+
+    @classmethod
+    def plan_where(cls, snap: dict, col: str, lo=None, hi=None) -> list[str]:
+        """Driver-side file planning on a payload column's recorded
+        per-file [min, max] — NO Spark job (the Iceberg
+        lower_bounds/upper_bounds skip). Files without an entry for
+        ``col`` (pre-stats commits, missing footer stats) are always
+        kept — never a false skip."""
+        stats = snap.get("file_col_stats") or {}
+        out: list[str] = []
+        for b in sorted(snap["bucket_files"], key=int):
+            for rel in snap["bucket_files"][b]:
+                r = (stats.get(rel) or {}).get(col)
+                if r is not None and (
+                    (hi is not None and r[0] > hi)
+                    or (lo is not None and r[1] < lo)
+                ):
+                    continue
+                out.append(rel)
+        return out
+
+    def read_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Unfolded range scan ``lo <= col <= hi`` over a payload
+        column: the file set is planned on the driver from the
+        manifest's per-file column stats (zero Spark jobs), then the
+        exact predicate is pushed into the parquet scan (row groups
+        skip via their own min/max). The time-range / numeric-range
+        analogue of :meth:`read_seq_range`; fold semantics stay with
+        the caller (``fold_lww``), as with :meth:`read_files`."""
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
+        rels = self.plan_where(snap, col, lo, hi)
+        if not rels or schema is None:
+            return self.spark.createDataFrame(
+                [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
+            )
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.root, rel) for rel in rels]
+        )
+        if col in df.columns:
+            if lo is not None:
+                df = df.where(F.col(col) >= lo)
+            if hi is not None:
+                df = df.where(F.col(col) <= hi)
         return df
 
     def lookup(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
@@ -864,6 +938,7 @@ class SnapshotTable:
         # replay-from-offset scans O(files in range), not O(files)
         bucket_rows: dict[str, int] = {}
         new_seq_entries: dict[str, list[int]] = {}
+        new_stat_entries: dict[str, dict] = {}
         try:
             import pyarrow.parquet as pq
 
@@ -875,10 +950,19 @@ class SnapshotTable:
                     rng = self._seq_range_from_footer(md)
                     if rng is not None:
                         new_seq_entries[f] = rng
+                    if self.stats_cols:
+                        stats = {
+                            c: r
+                            for c in self.stats_cols
+                            if (r := self._col_range_from_footer(md, c)) is not None
+                        }
+                        if stats:
+                            new_stat_entries[f] = stats
                 bucket_rows[b] = n
         except Exception:
             bucket_rows = {}
             new_seq_entries = {}
+            new_stat_entries = {}
 
         schema = new_schema or self.schema()
         if schema is None:
@@ -937,6 +1021,16 @@ class SnapshotTable:
             }
             if seq_ranges:
                 snap["file_seq_ranges"] = seq_ranges
+            col_stats = {
+                f: s
+                for f, s in {
+                    **(base.get("file_col_stats") or {}),
+                    **new_stat_entries,
+                }.items()
+                if f in live
+            }
+            if col_stats:
+                snap["file_col_stats"] = col_stats
             if self.bloom_bits:
                 # keep base entries only for files still live AND written
                 # under the same bloom_bits; stale-bits entries drop (their
@@ -1145,18 +1239,37 @@ class SnapshotTable:
         ttl = props.get("retention.snapshot_ttl_sec")
         keep = int(props.get("retention.keep_last", 2))
         report["files_removed"] = self.expire_snapshots(
-            keep_last=keep, ttl_sec=float(ttl) if ttl is not None else None
+            keep_last=keep,
+            ttl_sec=float(ttl) if ttl is not None else None,
+            orphan_grace_sec=float(props.get("retention.orphan_grace_sec", 600.0)),
         )
         return report
 
-    def expire_snapshots(self, keep_last: int = 2, ttl_sec: float | None = None) -> int:
+    def expire_snapshots(
+        self,
+        keep_last: int = 2,
+        ttl_sec: float | None = None,
+        orphan_grace_sec: float = 600.0,
+    ) -> int:
         """Drop expired manifests and GC data files no live manifest
         references (reference: build_clean_dag.py partition GC, M3;
         Iceberg expire_snapshots). Live = the newest ``keep_last``
         snapshots, plus every named-ref head (branch and tag heads are
         never expired — the Iceberg ref-retention rule), plus — when
         ``ttl_sec`` is given — every snapshot younger than the TTL
-        (age-based retention window)."""
+        (age-based retention window).
+
+        Unreferenced files fall in two classes with DIFFERENT safety:
+
+        * files referenced by a manifest being expired right now are
+          known-dead history — removed immediately;
+        * files NO manifest ever referenced are orphans (a crashed
+          write) — or an IN-FLIGHT commit: ``commit()`` writes data
+          files before it takes the publish lock, so a concurrent
+          writer's files are briefly unreferenced by design. Those are
+          removed only once older than ``orphan_grace_sec`` (Iceberg's
+          remove_orphan_files ``older_than`` discipline; pass 0 to
+          force, e.g. in tests or when no writer can be live)."""
         cur = self.ref_version("main")
         if cur < 0:
             return 0
@@ -1183,20 +1296,34 @@ class SnapshotTable:
                 except (OSError, ValueError):
                     pass
         referenced: set[str] = set()
-        for v in live_versions:
-            p = os.path.join(self._meta, f"snapshot-{v:012d}.json")
-            if os.path.exists(p):
-                with open(p) as f:
-                    for files in json.load(f)["bucket_files"].values():
+        ever_referenced: set[str] = set()
+        for entry in os.listdir(self._meta):
+            if not (entry.startswith("snapshot-") and entry.endswith(".json")):
+                continue
+            v = int(entry.split("-")[1].split(".")[0])
+            with open(os.path.join(self._meta, entry)) as f:
+                for files in json.load(f)["bucket_files"].values():
+                    ever_referenced.update(files)
+                    if v in live_versions:
                         referenced.update(files)
         removed = 0
+        orphan_cutoff = time.time() - orphan_grace_sec
         for dirpath, _dirnames, filenames in os.walk(self._data):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in referenced:
-                    os.remove(full)
-                    removed += 1
+                if not fn.endswith(".parquet") or rel in referenced:
+                    continue
+                if rel not in ever_referenced:
+                    # true orphan OR a concurrent writer's in-flight
+                    # files — only reap past the grace age
+                    try:
+                        if os.path.getmtime(full) > orphan_cutoff:
+                            continue
+                    except OSError:
+                        continue
+                os.remove(full)
+                removed += 1
         for entry in os.listdir(self._meta):
             if entry.startswith("snapshot-"):
                 v = int(entry.split("-")[1].split(".")[0])

@@ -439,6 +439,17 @@ EXPECTATIONS = {
     "nation_profit_by_year": dict(max_exchanges=3, max_python=0, need_pushed=True),
     # Q10 shape: join pair + customer join + agg + the global top-k cut
     "returned_item_top_customers": dict(max_exchanges=6, max_python=0, need_pushed=True),
+    # fastText-style hashed classifier gate: the weight "table" is a
+    # hash function, so scoring is fused aggregate folds — no join, no
+    # explode, no shuffle, scan reads exactly (doc_id, text)
+    "quality_hashed_linear_score": dict(
+        max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2
+    ),
+    # FIM PSM reordering: pure concat-of-slices projection — the whole
+    # rewrite must stay one codegen map with no shuffle at any scale
+    "corpus_fim_transform": dict(
+        max_exchanges=0, max_python=0, max_scans=1, max_read_cols=2
+    ),
     # held-out bigram scoring: ONE scan per corpus half — ctx/uni/tv
     # all reuse c2's shuffle (explicit notnull filters keep the four
     # model subtrees canonically identical so ReusedExchange fires at

@@ -58,3 +58,40 @@ def test_ttl_keeps_young_snapshots(spark, tmp_path):
     assert removed == 0
     # time travel to the oldest version still works
     assert t.read(version=0).count() == 1
+
+
+def test_orphan_grace_protects_inflight_writes(spark, tmp_path):
+    """Files NO manifest references are a crashed write — or a commit
+    in flight (commit() writes data before taking the publish lock).
+    They must survive GC inside the grace window and die past it;
+    known-dead history (referenced only by expired manifests) is
+    removed immediately regardless of grace."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), num_buckets=2)
+    for s in (1, 2):
+        _write(spark, t, [f"k{s}"], s)
+    # compaction strands the delta files in pre-compaction manifests
+    t.compact(sorted(t.file_counts()))
+    # plant a just-written orphan, as an in-flight commit would
+    orphan_dir = tmp_path / "t" / "data" / "inflight" / "_bucket=0"
+    orphan_dir.mkdir(parents=True)
+    orphan = orphan_dir / "part-0.parquet"
+    orphan.write_bytes(b"PAR1 not a real footer")
+
+    # default grace: expired-history files go, the fresh orphan stays
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed > 0 and orphan.exists()
+    assert t.read().count() == 2  # table content intact
+
+    # grace 0 reaps it (the explicit remove_orphan_files escalation)
+    assert t.expire_snapshots(keep_last=1, orphan_grace_sec=0) == 1
+    assert not orphan.exists()
+
+    # aged orphan falls inside a finite grace window
+    orphan.parent.mkdir(parents=True, exist_ok=True)
+    orphan.write_bytes(b"PAR1 stale")
+    old = 10_000
+    os.utime(orphan, (os.path.getmtime(orphan) - old,) * 2)
+    assert t.expire_snapshots(keep_last=1, orphan_grace_sec=600) == 1
+    assert not orphan.exists()
