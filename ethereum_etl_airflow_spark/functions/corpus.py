@@ -414,6 +414,13 @@ def corpus_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the vocabulary riding in the closure. A join-based encode
     (explode words -> join vocab -> re-assemble by position) would
     shuffle every token twice for the same result."""
+    return _vocab_encode(spark, sf_dir)
+
+
+def _vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens, n_tok) via the learned top-V vocabulary — the
+    shared encode step (see :func:`corpus_tokenize_vocab` for the plan
+    rationale; :func:`corpus_pack_emit` packs its output)."""
     d = _t(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -438,6 +445,101 @@ def corpus_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         toks.alias("tokens"),
         F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+
+#: the vocab-encode CTE chain shared by the tokenize and pack oracles
+_ENCODE_CTES = f"""toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), vocab AS (
+        SELECT token,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS INT) AS tid
+        FROM (
+            SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token ASC LIMIT {TOKENIZE_V}
+        )
+    ), words AS (
+        SELECT doc_id, i AS pos, (string_split(text, ' '))[i] AS token
+        FROM documents,
+             unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)
+    ), enc AS (
+        SELECT w.doc_id,
+               list(COALESCE(v.tid, {TOKENIZE_V}) ORDER BY w.pos) AS tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM words w LEFT JOIN vocab v USING (token)
+        GROUP BY w.doc_id
+    )"""
+
+
+@register(
+    "corpus_pack_emit",
+    oracle=f"""
+    WITH {_ENCODE_CTES}, ord AS (
+        SELECT doc_id, tokens, n_tok,
+               COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS start
+        FROM enc
+    ), win AS (
+        SELECT *,
+               CAST(start // {PACK_MAX_LEN} AS BIGINT) AS seq_id,
+               MIN(start) OVER (PARTITION BY start // {PACK_MAX_LEN}) AS w0
+        FROM ord
+    )
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           flatten(list(tokens ORDER BY doc_id)) AS tokens,
+           list(CAST(start - w0 AS INT) ORDER BY doc_id) AS boundaries
+    FROM win
+    GROUP BY seq_id
+    """,
+    doc=f"emit the packed training windows themselves: documents are "
+    f"vocab-encoded (top-{TOKENIZE_V} word ids, OOV -> UNK), greedily "
+    f"packed at {PACK_MAX_LEN}-token windows by global token offset, "
+    "and each window materializes its concatenated token-id array plus "
+    "the document-start offsets inside it (the attention-reset / "
+    "loss-mask boundary list packed pretraining needs)",
+    survey_ref="input_hint tokens payload: the batch-assembly stage on "
+    "top of corpus_pack_sequences' window census — the consumer of "
+    "corpus_tokenize_vocab's (doc_id, tokens, n_tok) contract",
+)
+def corpus_pack_emit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed windows with concatenated tokens + boundary offsets.
+
+    Plan: the zero-shuffle vocab encode, the two-phase distributed
+    prefix sum (per-block agg -> bounded driver cumsum -> broadcast
+    back -> per-block window: no global sort, no single-partition
+    funnel), then ONE shuffle on seq_id to assemble each window. The
+    assembled arrays are window-bounded (~PACK_MAX_LEN ints plus one
+    straddling tail), so collect_list stays O(window), never O(doc
+    count). Boundary offsets are each member's global start minus the
+    window's first start — computed from the sorted starts array, no
+    second window function."""
+    o = global_prefix_sum(
+        _vocab_encode(spark, sf_dir), "doc_id", "n_tok", PACK_BLOCK
+    )
+    g = (
+        o.withColumn("seq_id", F.expr(f"start div {PACK_MAX_LEN}"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.array_sort(F.collect_list(F.struct("doc_id", "tokens"))).alias(
+                "ds"
+            ),
+            F.sort_array(F.collect_list("start")).alias("starts"),
+        )
+    )
+    return g.select(
+        "seq_id",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.flatten(F.transform("ds", lambda s: s["tokens"])).alias("tokens"),
+        F.transform(
+            "starts",
+            lambda s: (s - F.element_at(F.col("starts"), 1)).cast("int"),
+        ).alias("boundaries"),
     )
 
 

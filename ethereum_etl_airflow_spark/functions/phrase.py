@@ -376,3 +376,151 @@ def lm_kneser_ney_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_substring_strip",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    ex AS (
+        SELECT doc_id, i,
+               {phash60_sql(f"array_to_string(w[i:i+{SPAN_N - 1}], ' ')")} AS h
+        FROM t, unnest(range(1, len(w) - {SPAN_N - 2})) AS u(i)
+    ),
+    dup AS (
+        SELECT h FROM ex GROUP BY h HAVING COUNT(*) >= 2
+    ),
+    ds AS (
+        SELECT doc_id, list(i ORDER BY i) AS starts
+        FROM ex JOIN dup USING (h) GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id, t.w, coalesce(ds.starts, []) AS starts,
+               [t.w[j] FOR j IN range(1, len(t.w) + 1)
+                IF len(list_filter(coalesce(ds.starts, []),
+                                   s -> s <= j AND j <= s + {SPAN_N - 1})) = 0
+               ] AS kept_toks
+        FROM t LEFT JOIN ds USING (doc_id)
+    )
+    SELECT doc_id,
+           len(w) AS n_tok,
+           len(starts) AS n_dup_spans,
+           len(w) - len(kept_toks) AS n_removed_tok,
+           coalesce(array_to_string(kept_toks, ' '), '') AS kept_text,
+           CAST(len(kept_toks) AS DOUBLE) / len(w) AS kept_frac
+    FROM kept
+    """,
+    doc=f"exact duplicated-substring REMOVAL: every {SPAN_N}-word span "
+    "occurring more than once in the corpus (across or within docs) is "
+    "stripped; overlapping duplicated spans are coalesced into "
+    "intervals and the document is rebuilt from the gap slices "
+    "(ExactSubstr dedup, Lee et al. 2021, word-granular remove-all "
+    "variant — cf. text_boilerplate_strip's keep-first paragraph form)",
+    survey_ref="training-pipeline ops: the removal stage on top of "
+    "dedup_span_ngrams' detection — doc-level dedup keeps boilerplate "
+    "that repeats INSIDE otherwise-unique docs; this emits the cleaned "
+    "corpus itself",
+)
+def dedup_substring_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strip every corpus-duplicated span and rebuild the text.
+
+    Pipeline (all shuffles carry 8-byte hashes + ids, never token
+    arrays):
+
+    1. positional spans — per doc, the {SPAN_N}-gram hash at every
+       start offset (NOT distinct-per-doc: within-doc repeats count
+       toward the corpus occurrence total, per "occurs more than once
+       in the corpus");
+    2. one count window over the span hash finds duplicated spans
+       (same single-pass shape as dedup_span_ngrams — no agg+self-join
+       double scan);
+    3. duplicated start offsets regroup per doc (sorted);
+    4. joined back to the token arrays, the offsets fold into MERGED
+       disjoint intervals [s, s+N-1] (adjacent-or-overlapping spans
+       coalesce — one O(|starts|) aggregate), and the kept text is the
+       flattened gap slices between interval bounds: zip(0 ++ his,
+       los ++ n+1) -> slice(w, e+1, l-e-1). Strictly linear in doc
+       length — no per-token exists() scan, so a fully-boilerplate doc
+       (|starts| ~ n) costs O(n), not O(n^2).
+
+    The whole rebuild is a narrow JVM projection; at 10^10 docs the
+    plan is the three bounded shuffles plus one corpus-wide map.
+    """
+    n1 = SPAN_N - 1
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sz = F.size("w")
+    span_hashes = F.when(
+        sz >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), sz - F.lit(n1)),
+            lambda i: phash60(F.array_join(F.slice("w", i, SPAN_N), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    ex = d.select("doc_id", F.posexplode(span_hashes).alias("pos0", "h")).select(
+        "doc_id", (F.col("pos0") + 1).alias("i"), "h"
+    )
+    dup = ex.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).where(F.col("cnt") >= 2)
+    ds = dup.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("i")).alias("starts")
+    )
+    j = d.join(ds, "doc_id", "left").select(
+        "doc_id",
+        "w",
+        F.coalesce("starts", F.array().cast("array<int>")).alias("starts"),
+    )
+
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    merged = F.aggregate(
+        "starts",
+        F.array().cast("array<struct<lo:int,hi:int>>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (s <= last(acc)["hi"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["lo"].alias("lo"),
+                        F.greatest(last(acc)["hi"], s + F.lit(n1)).alias("hi"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(s.alias("lo"), (s + F.lit(n1)).alias("hi"))
+                ),
+            )
+        ),
+    )
+    j = j.withColumn("iv", merged)
+    los = F.transform("iv", lambda v: v["lo"])
+    his = F.transform("iv", lambda v: v["hi"])
+    kept = F.flatten(
+        F.zip_with(
+            F.concat(F.array(F.lit(0)), his),
+            F.concat(los, F.array(F.size("w") + 1)),
+            lambda e, l: F.slice("w", e + 1, l - e - 1),
+        )
+    )
+    removed = F.aggregate(
+        "iv",
+        F.lit(0),
+        lambda acc, v: acc + v["hi"] - v["lo"] + 1,
+    )
+    return j.select(
+        "doc_id",
+        F.size("w").alias("n_tok"),
+        F.size("starts").alias("n_dup_spans"),
+        removed.alias("n_removed_tok"),
+        F.array_join(kept, " ").alias("kept_text"),
+        (
+            (F.size("w") - removed).cast("double") / F.size("w")
+        ).alias("kept_frac"),
+    )

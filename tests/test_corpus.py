@@ -158,3 +158,38 @@ def test_incremental_dedup_and_redact(spark, tmp_path):
     assert red[5]["n_email"] == 1 and red[5]["n_phone"] == 1
     assert "<EMAIL>" in red[5]["redacted"] and "<PHONE>" in red[5]["redacted"]
     assert "@" not in red[5]["redacted"]
+
+
+def test_pack_emit_reconstructs_token_stream(spark):
+    """Concatenating the packed windows in seq_id order reproduces the
+    full corpus token stream in doc_id order; boundary offsets are the
+    in-window document starts (first always 0, strictly increasing,
+    one per member doc, consistent with the member token lengths)."""
+    from ethereum_etl_airflow_spark.functions.corpus import (
+        _vocab_encode,
+        corpus_pack_emit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    packed = sorted(
+        corpus_pack_emit(spark, sf).collect(), key=lambda r: r["seq_id"]
+    )
+    enc = sorted(_vocab_encode(spark, sf).collect(), key=lambda r: r["doc_id"])
+    stream = [t for r in enc for t in r["tokens"]]
+    got = [t for r in packed for t in r["tokens"]]
+    assert got == stream
+    for r in packed:
+        b = r["boundaries"]
+        assert len(b) == r["n_docs"]
+        assert b[0] == 0
+        assert all(x < y for x, y in zip(b, b[1:]))
+        assert len(r["tokens"]) == r["n_tokens"]
+        # every boundary is where some member doc's tokens begin
+        cum = 0
+        starts = set()
+        # member lengths recoverable from consecutive boundaries + total
+        for lo, hi in zip(b, b[1:] + [r["n_tokens"]]):
+            assert hi - lo > 0
+            starts.add(lo)
+            cum += hi - lo
+        assert cum == r["n_tokens"]

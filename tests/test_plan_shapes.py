@@ -439,6 +439,19 @@ EXPECTATIONS = {
     "nation_profit_by_year": dict(max_exchanges=3, max_python=0, need_pushed=True),
     # Q10 shape: join pair + customer join + agg + the global top-k cut
     "returned_item_top_customers": dict(max_exchanges=6, max_python=0, need_pushed=True),
+    # packed-window emit: zero-shuffle vocab encode, the two-phase
+    # prefix sum's per-block window, and ONE seq_id assembly shuffle —
+    # never a global sort; JVM-only end to end, scan reads (doc_id, text)
+    "corpus_pack_emit": dict(
+        max_exchanges=4, max_python=0, max_scans=2, max_read_cols=2
+    ),
+    # ExactSubstr strip: spans travel as 8-byte hashes (dup window +
+    # per-doc regroup + join back are the only shuffles); the interval
+    # merge + gap-slice rebuild is a JVM-only narrow projection and the
+    # scan reads exactly (doc_id, text)
+    "dedup_substring_strip": dict(
+        max_exchanges=4, max_python=0, max_scans=4, max_read_cols=2
+    ),
     # fastText-style hashed classifier gate: the weight "table" is a
     # hash function, so scoring is fused aggregate folds — no join, no
     # explode, no shuffle, scan reads exactly (doc_id, text)
