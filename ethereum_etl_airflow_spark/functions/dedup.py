@@ -526,3 +526,103 @@ def lsh_band_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_bucket"),
         F.expr("sum(c * (c - 1)) div 2").alias("candidate_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment (Broder 1997): |A ∩ B| / |A| — the near-
+# SUPERSET detector Jaccard misses (a quote or excerpt inside a much
+# larger doc has low Jaccard but high containment).
+# ---------------------------------------------------------------------------
+
+#: containment threshold as an exact integer fraction (3/5 = 0.6) —
+#: the accept test is 5*n_common >= 3*n_sub in BOTH engines, so no
+#: float boundary can disagree
+CONTAIN_NUM, CONTAIN_DEN = 3, 5
+
+#: a doc must have at least this many shingles to be a containment
+#: SUBJECT (tiny docs are trivially "contained" everywhere)
+MIN_CONTAIN_SH = 5
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH t AS ({_SHINGLES_SQL}),
+    e AS (
+        SELECT doc_id, len(sh) AS n_sh, sh FROM t
+        WHERE len(sh) >= {MIN_CONTAIN_SH}
+    ),
+    x AS (SELECT doc_id, unnest(sh) AS g FROM e),
+    p AS (
+        SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+               COUNT(*) AS n_common
+        FROM x a JOIN x b ON a.g = b.g AND a.doc_id != b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT p.doc_sub, p.doc_sup, ca.n_sh AS n_sub, p.n_common,
+           p.n_common::DOUBLE / ca.n_sh AS containment
+    FROM p JOIN e ca ON ca.doc_id = p.doc_sub
+    WHERE {CONTAIN_DEN} * p.n_common >= {CONTAIN_NUM} * ca.n_sh
+    """,
+    doc="directed near-superset pairs: shingle containment "
+    "|A∩B|/|A| >= 3/5 (Broder's asymmetric resemblance) — finds "
+    "excerpts/quotes living inside larger docs, which Jaccard dedup "
+    "structurally misses; exact integer threshold",
+    survey_ref="training-pipeline ops: the asymmetric sibling of "
+    "dedup_ngram_jaccard (same shingle kernel, AllPairs-style prefix "
+    "candidates adapted to containment)",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment pairs via an asymmetric prefix filter.
+
+    Pigeonhole for containment: if B holds >= ceil(t*|A|) of A's
+    shingles, then among A's first ``|A| - ceil(t*|A|) + 1`` shingles
+    under ANY fixed global order at least one is in B. So only A's
+    prefix explodes on the probe side, while the build side indexes
+    ALL shingles (B is unconstrained — that asymmetry IS containment):
+    one shuffle on the shingle, candidates ~(1-t)·|A| per subject doc.
+    Candidates verify EXACTLY from the two full shingle arrays with
+    the integer cross-multiplied threshold. Stop-shingle df-cap on the
+    probe side kills zipfian hubs (same defense and cap as
+    dedup_ngram_jaccard; lossless below the cap)."""
+    d = _t(spark, sf_dir, "documents").where(F.size(F.split("text", " ")) >= 3)
+    sh = (
+        d.select("doc_id", shingles_col(F.split("text", " ")).alias("sh"))
+        .where(F.size("sh") >= MIN_CONTAIN_SH)
+    )
+    n = F.size("sh")
+    pref_len = (
+        n
+        - F.expr(f"({CONTAIN_NUM} * size(sh) + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}")
+        + 1
+    ).cast("int")
+    pref = sh.select(
+        F.col("doc_id").alias("doc_sub"),
+        F.explode(F.slice(F.array_sort("sh"), F.lit(1), pref_len)).alias("g"),
+    )
+    pref = pref.join(
+        pref.groupBy("g").count().where(F.col("count") <= SHINGLE_DF_CAP).drop("count"),
+        "g",
+    )
+    alle = sh.select(F.col("doc_id").alias("doc_sup"), F.explode("sh").alias("g"))
+    cand = (
+        pref.join(alle, "g")
+        .where(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup")
+        .distinct()
+    )
+    a, b = sh.alias("ca"), sh.alias("cb")
+    n_common = F.size(F.array_intersect(F.col("ca.sh"), F.col("cb.sh")))
+    n_sub = F.size(F.col("ca.sh"))
+    return (
+        cand.join(a, F.col("ca.doc_id") == F.col("doc_sub"))
+        .join(b, F.col("cb.doc_id") == F.col("doc_sup"))
+        .where(F.lit(CONTAIN_DEN) * n_common >= F.lit(CONTAIN_NUM) * n_sub)
+        .select(
+            "doc_sub",
+            "doc_sup",
+            n_sub.alias("n_sub"),
+            n_common.alias("n_common"),
+            (n_common.cast("double") / n_sub).alias("containment"),
+        )
+    )

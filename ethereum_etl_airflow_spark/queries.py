@@ -1466,6 +1466,62 @@ def cdc_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_delete_where_lifecycle",
+    oracle="""
+    WITH b AS (
+        SELECT (MAX(event_id) * 25) // 100 AS lo,
+               (MAX(event_id) * 50) // 100 AS hi
+        FROM events
+    )
+    SELECT CAST(event_id AS VARCHAR) AS doc_id,
+           event_id AS eid,
+           CAST(value AS DOUBLE) AS val
+    FROM events, b
+    WHERE event_id NOT BETWEEN b.lo AND b.hi
+    """,
+    doc="predicate DELETE with metadata pruning: ingest in three "
+    "seq-ordered commits, delete_where strips [25%,50%] of the id "
+    "space (buckets fully inside the range drop metadata-only, mixed "
+    "buckets rewrite from the folded view), final state is everything "
+    "outside the band",
+    survey_ref="M3 delete/GC at predicate grain; Iceberg DELETE FROM "
+    "... WHERE with lower/upper_bounds file pruning",
+)
+def cdc_delete_where_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    changes = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    table = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="del_where_") + "/t",
+        num_buckets=8,
+        stats_cols=["eid"],
+    )
+    thirds = (mx // 3, 2 * mx // 3)
+    apply_changes(table, changes.where(F.col("seq") <= thirds[0]), "st", epoch=0)
+    apply_changes(
+        table,
+        changes.where((F.col("seq") > thirds[0]) & (F.col("seq") <= thirds[1])),
+        "st",
+        epoch=1,
+    )
+    apply_changes(table, changes.where(F.col("seq") > thirds[1]), "st", epoch=2)
+    table.delete_where("eid", lo=mx * 25 // 100, hi=mx * 50 // 100)
+    return table.read().select("doc_id", "eid", "val")
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401

@@ -1184,6 +1184,135 @@ class SnapshotTable:
             },
         )
 
+    def delete_where(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        app_id: str = "maintenance",
+        tombstones: bool = False,
+    ) -> dict:
+        """Predicate DELETE ``lo <= col <= hi`` with metadata pruning
+        (Iceberg ``DELETE FROM ... WHERE`` on the retention axis):
+
+        * buckets no candidate file touches (per-file column stats,
+          :meth:`plan_where`) are untouched — zero reads;
+        * a bucket whose EVERY live file lies fully inside the range is
+          dropped metadata-only — the whole-bucket condition is what
+          makes the drop LWW-safe: removing a strict subset of a
+          bucket's files could expose an older version of a key whose
+          newest (in-range) row was in a dropped file;
+        * remaining affected buckets are rewritten from the folded view
+          without the rows whose CURRENT value matches (stats false
+          positives rewrite to identical content — correct, just work).
+
+        ``tombstones=False`` (default) physically removes the rows —
+        retention / right-to-erasure semantics; under an ACTIVE feed a
+        later stale event could then re-insert a deleted key.
+        ``tombstones=True`` instead converts each matching current row
+        into a tombstone at its existing ``(_seq, _epoch)`` (payload
+        nulled), so only genuinely newer feed events win — but the
+        metadata-only fast path is then unavailable (every affected
+        bucket rewrites, since dropped files can't leave tombstones).
+
+        Time travel to pre-delete versions keeps working until
+        :meth:`expire_snapshots` GCs them. One atomic epoch-fenced
+        commit."""
+        snap = self.snapshot()
+        if snap["version"] < 0:
+            raise ValueError("table has no snapshot yet")
+        stats = snap.get("file_col_stats") or {}
+        candidates = set(self.plan_where(snap, col, lo, hi))
+
+        def fully_in(f: str) -> bool:
+            r = (stats.get(f) or {}).get(col)
+            return (
+                r is not None
+                and (lo is None or r[0] >= lo)
+                and (hi is None or r[1] <= hi)
+            )
+
+        drop_buckets: list[int] = []
+        rewrite_buckets: list[int] = []
+        files_dropped = 0
+        for b, files in snap["bucket_files"].items():
+            if not any(f in candidates for f in files):
+                continue
+            if not tombstones and files and all(fully_in(f) for f in files):
+                drop_buckets.append(int(b))
+                files_dropped += len(files)
+            else:
+                rewrite_buckets.append(int(b))
+        if not drop_buckets and not rewrite_buckets:
+            return {
+                "files_dropped": 0,
+                "buckets_rewritten": 0,
+                "rows_deleted": 0,
+                "version": snap["version"],
+            }
+
+        schema = self.schema()
+        rows_deleted = 0
+        if rewrite_buckets:
+            folded = self.read_raw(rewrite_buckets)
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+            is_live = ~F.coalesce(F.col("_tombstone"), F.lit(False))
+            match = is_live & F.coalesce(cond, F.lit(False))
+            # one scan: checkpoint the folded view, count then filter
+            folded = folded.localCheckpoint()
+            rows_deleted = folded.where(match).count()
+            if tombstones:
+                # pin the match verdict FIRST: nulling the predicate
+                # column itself must not flip later per-column whens
+                kept = folded.withColumn("_del", match)
+                for f in folded.schema.fields:
+                    if f.name in ("doc_id", *INTERNAL_COLS):
+                        continue
+                    kept = kept.withColumn(
+                        f.name,
+                        F.when(
+                            F.col("_del"), F.lit(None).cast(f.dataType)
+                        ).otherwise(F.col(f.name)),
+                    )
+                kept = kept.withColumn(
+                    "_tombstone",
+                    F.coalesce(F.col("_tombstone"), F.lit(False))
+                    | F.col("_del"),
+                ).drop("_del")
+            else:
+                kept = folded.where(~match)
+        else:
+            kept = self.spark.createDataFrame([], schema)
+        out = kept.withColumn(
+            "_bucket", bucket_expr(F.col("doc_id"), self.num_buckets)
+        )
+        result = self.commit(
+            out,
+            replace_buckets=set(drop_buckets) | set(rewrite_buckets),
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            lineage={
+                "op": "delete_where",
+                "col": col,
+                "lo": lo,
+                "hi": hi,
+                "tombstones": tombstones,
+                "buckets_dropped_metadata_only": sorted(drop_buckets),
+                "buckets_rewritten": sorted(rewrite_buckets),
+            },
+        )
+        return {
+            "files_dropped": files_dropped,
+            "buckets_dropped_metadata_only": len(drop_buckets),
+            "buckets_rewritten": len(rewrite_buckets),
+            "rows_deleted_rewrite": rows_deleted,
+            "version": result["version"],
+        }
+
     def rewrite_sorted(self, sort_by: list[str], app_id: str = "maintenance") -> dict:
         """Layout rewrite (Iceberg ``rewrite_data_files`` with a sort
         order): compact every bucket to one file whose rows are sorted

@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--checkpoint", default=None, help="required for --mode stream")
     ap.add_argument(
         "--mode",
-        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup", "rewind"],
+        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup", "rewind", "delete-where"],
         default="replay",
         help="ingest modes (replay/stream) or maintenance ops on the table",
     )
@@ -55,6 +55,15 @@ def main() -> int:
         help="chain-reorg recovery for --mode rewind: roll the table "
         "back to this batch epoch and reset the fence; then replace "
         "the orphaned feed batch dirs and re-run --mode replay",
+    )
+    ap.add_argument("--delete-col", default=None, help="delete-where predicate column")
+    ap.add_argument("--delete-lo", type=float, default=None)
+    ap.add_argument("--delete-hi", type=float, default=None)
+    ap.add_argument(
+        "--tombstones", action="store_true",
+        help="delete-where leaves tombstones at the deleted rows' seq "
+        "(resurrection-proof under an active feed; disables the "
+        "metadata-only fast path)",
     )
     ap.add_argument("--app-id", default="cdc")
     ap.add_argument("--buckets", type=int, default=None)
@@ -116,9 +125,19 @@ def main() -> int:
         spark.stop()
         return 0
 
-    if args.mode in ("compact", "expire-snapshots", "expire-tombstones", "rollup"):
+    if args.mode in ("compact", "expire-snapshots", "expire-tombstones", "rollup", "delete-where"):
         # maintenance ops (reference: clean DAG M3/M4; Iceberg table maintenance)
-        if args.mode == "compact":
+        if args.mode == "delete-where":
+            if args.delete_col is None:
+                ap.error("--delete-col is required for delete-where")
+            rep = tailer.table.delete_where(
+                args.delete_col,
+                lo=args.delete_lo,
+                hi=args.delete_hi,
+                tombstones=args.tombstones,
+            )
+            print(json.dumps({"op": "delete-where", "result": rep}))
+        elif args.mode == "compact":
             snap = tailer.table.compact()
             print(json.dumps({"op": "compact", "version": snap["version"]}))
         elif args.mode == "expire-snapshots":
