@@ -596,15 +596,21 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.expr(f"({CONTAIN_NUM} * size(sh) + {CONTAIN_DEN - 1}) div {CONTAIN_DEN}")
         + 1
     ).cast("int")
+    # join key = 60-bit shingle hash, not the string: the build side is
+    # the FULL shingle stream, so shuffle width matters; a hash
+    # collision can only ADD a candidate, and every candidate is
+    # verified exactly below — lossless
     pref = sh.select(
         F.col("doc_id").alias("doc_sub"),
-        F.explode(F.slice(F.array_sort("sh"), F.lit(1), pref_len)).alias("g"),
-    )
+        F.explode(F.slice(F.array_sort("sh"), F.lit(1), pref_len)).alias("gs"),
+    ).select("doc_sub", phash60(F.col("gs")).alias("g"))
     pref = pref.join(
         pref.groupBy("g").count().where(F.col("count") <= SHINGLE_DF_CAP).drop("count"),
         "g",
     )
-    alle = sh.select(F.col("doc_id").alias("doc_sup"), F.explode("sh").alias("g"))
+    alle = sh.select(
+        F.col("doc_id").alias("doc_sup"), F.explode("sh").alias("gs")
+    ).select("doc_sup", phash60(F.col("gs")).alias("g"))
     cand = (
         pref.join(alle, "g")
         .where(F.col("doc_sub") != F.col("doc_sup"))

@@ -634,12 +634,20 @@ class SnapshotTable:
 
     @staticmethod
     def _col_range_from_footer(md, name: str) -> list | None:
-        """[min,max] of column ``name`` across a file's row groups from
-        footer statistics only — None when the column is absent, any
-        row group lacks exact stats, or the values aren't JSON-storable
-        scalars (int/float/str). The file then stays always-scanned —
-        a partial bound could cause a false skip."""
+        """[min, max, null_count] of column ``name`` across a file's row
+        groups from footer statistics only — None when the column is
+        absent, any row group lacks exact stats, or the values aren't
+        JSON-storable scalars (int/float/str). The file then stays
+        always-scanned — a partial bound could cause a false skip.
+
+        ``null_count`` (None when any row group doesn't record it)
+        matters because parquet min/max IGNORE nulls: a file whose
+        range lies fully inside a delete predicate can still hold
+        null-valued rows the predicate does NOT match (e.g. feed
+        tombstones carry null payloads) — :meth:`delete_where`'s
+        metadata-only drop requires null_count == 0."""
         lo = hi = None
+        nulls: int | None = 0
         for ri in range(md.num_row_groups):
             rg = md.row_group(ri)
             found = False
@@ -654,11 +662,15 @@ class SnapshotTable:
                 mn, mx = st.min, st.max
                 if isinstance(mn, bytes) or not isinstance(mn, (int, float, str)):
                     return None
+                if not st.has_null_count:
+                    nulls = None
+                elif nulls is not None:
+                    nulls += st.null_count
                 lo = mn if lo is None else min(lo, mn)
                 hi = mx if hi is None else max(hi, mx)
             if not found:
                 return None
-        return None if lo is None else [lo, hi]
+        return None if lo is None else [lo, hi, nulls]
 
     @classmethod
     def plan_seq_range(
@@ -1225,9 +1237,16 @@ class SnapshotTable:
         candidates = set(self.plan_where(snap, col, lo, hi))
 
         def fully_in(f: str) -> bool:
+            # parquet min/max ignore nulls, and null rows do NOT match
+            # a range predicate (feed tombstones carry null payloads!)
+            # — a file is droppable only with a recorded zero null
+            # count; entries from before null counts were tracked
+            # (2-element) safely fall back to the rewrite path
             r = (stats.get(f) or {}).get(col)
             return (
                 r is not None
+                and len(r) >= 3
+                and r[2] == 0
                 and (lo is None or r[0] >= lo)
                 and (hi is None or r[1] <= hi)
             )

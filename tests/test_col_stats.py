@@ -71,5 +71,5 @@ def test_compaction_refreshes_stats(spark, tmp_path):
     assert len(files) == 1
     # the compacted file's range spans both inputs; dead entries dropped
     assert set(snap["file_col_stats"]) == set(files)
-    assert snap["file_col_stats"][files[0]]["val"] == [10, 1000]
+    assert snap["file_col_stats"][files[0]]["val"] == [10, 1000, 0]
     assert {r.doc_id for r in t.read_where("val", lo=0, hi=50).collect()} == {"a"}

@@ -131,3 +131,34 @@ def test_delete_outside_data_is_noop(spark, tmp_path):
         "version": v,
     }
     assert t.current_version() == v  # no commit published
+
+
+def test_metadata_drop_never_kills_null_payload_tombstones(spark, tmp_path):
+    """Parquet min/max IGNORE nulls: a file whose eid range lies fully
+    inside the delete range can still hold a feed tombstone (null
+    payload). Dropping it metadata-only would erase the tombstone and
+    let a stale event resurrect the key (found by Hypothesis). The
+    null_count term in the stats entry must force the rewrite path."""
+    t = _table(spark, tmp_path, num_buckets=1)
+    apply_changes(
+        t, _changes(spark, [("U", "a", 1, 46, "x"), ("U", "b", 2, 30, "y")]), "st", 0
+    )
+    # feed DELETE for 'a': tombstone row with null eid in the same bucket
+    apply_changes(
+        t,
+        spark.createDataFrame(
+            [("D", "a", 5, None, None)],
+            "op string, doc_id string, seq long, eid long, val string",
+        ),
+        "st",
+        1,
+    )
+    rep = t.delete_where("eid", lo=0, hi=50)
+    # the tombstone file's stats cover only non-null rows -> must rewrite
+    assert rep["buckets_dropped_metadata_only"] == 0
+    assert rep["buckets_rewritten"] == 1
+    # stale re-emission below the tombstone's seq must NOT resurrect 'a'
+    apply_changes(
+        t, _changes(spark, [("U", "a", 3, 46, "stale")]), "st", 2
+    )
+    assert t.read().count() == 0

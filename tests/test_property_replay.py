@@ -166,3 +166,105 @@ def test_any_reorg_rewind_converges_to_canonical_fold(
         for r in table.read().select("doc_id", "tokens", "n_tok", "source").collect()
     )
     assert got == oracle_fold(kept + corrected)
+
+
+# ---------------------------------------------------------------------------
+# delete_where property: ANY event log x ANY delete range x both modes
+# -> engine state == first-principles fold with the deletion applied,
+# including post-delete feed behavior (stale events vs fresh events).
+# ---------------------------------------------------------------------------
+
+DEL_SCHEMA = "op string, doc_id string, seq long, eid long, val string"
+
+
+@st.composite
+def delete_case(draw):
+    n = draw(st.integers(min_value=2, max_value=18))
+    events = []
+    for seq in range(n):
+        doc = draw(st.sampled_from(DOC_IDS))
+        op = draw(st.sampled_from(["I", "U", "D"]))
+        eid = None if op == "D" else draw(st.integers(0, 50))
+        val = None if op == "D" else draw(st.sampled_from(["x", "y", "z"]))
+        events.append((op, doc, seq, eid, val))
+    nb = draw(st.integers(1, 3))
+    batches = [events[i::nb] for i in range(nb)]
+    lo = draw(st.integers(0, 50))
+    hi = lo + draw(st.integers(0, 25))
+    tomb = draw(st.booleans())
+    # post-delete events: seqs disjoint from the log's (stale = below
+    # everything, fresh = above everything) so no (seq, epoch) tie
+    # cases enter the model
+    pool = draw(st.permutations(list(range(-6, 0)) + list(range(n, n + 6))))
+    post = []
+    for seq in pool[: draw(st.integers(0, 4))]:
+        post.append(
+            (
+                draw(st.sampled_from(["I", "U"])),
+                draw(st.sampled_from(DOC_IDS)),
+                seq,
+                draw(st.integers(0, 50)),
+                "p",
+            )
+        )
+    return events, batches, lo, hi, tomb, post
+
+
+def _fold_simple(evs):
+    latest: dict[str, tuple] = {}
+    for op, doc, seq, eid, val in sorted(evs, key=lambda e: e[2]):
+        cur = latest.get(doc)
+        if cur is None or seq >= cur[1]:
+            latest[doc] = (op, seq, eid, val)
+    return latest
+
+
+def _delete_model(events, lo, hi, tomb, post):
+    pre = _fold_simple(events)
+    state: dict[str, tuple] = {}
+    for doc, (op, seq, eid, val) in pre.items():
+        matches = op != "D" and eid is not None and lo <= eid <= hi
+        if matches and tomb:
+            state[doc] = ("D", seq, None, None)  # verdict pinned at the row's seq
+        elif matches:
+            pass  # physically gone, history and all
+        else:
+            state[doc] = (op, seq, eid, val)
+    for op, doc, seq, eid, val in sorted(post, key=lambda e: e[2]):
+        cur = state.get(doc)
+        if cur is None or seq > cur[1]:
+            state[doc] = (op, seq, eid, val)
+    return sorted(
+        (d, e, v) for d, (op, s, e, v) in state.items() if op != "D"
+    )
+
+
+@given(delete_case())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_delete_where_any_log_any_range(spark, tmp_path_factory, case):
+    events, batches, lo, hi, tomb, post = case
+    root = str(tmp_path_factory.mktemp("delprop") / "t")
+    table = SnapshotTable(spark, root, num_buckets=4, stats_cols=["eid"])
+    for epoch, batch in enumerate(batches):
+        if not batch:
+            continue
+        apply_changes(
+            table, spark.createDataFrame(batch, DEL_SCHEMA), "prop", epoch=epoch
+        )
+    table.delete_where("eid", lo=lo, hi=hi, tombstones=tomb)
+    if post:
+        apply_changes(
+            table,
+            spark.createDataFrame(post, DEL_SCHEMA),
+            "prop",
+            epoch=len(batches),
+        )
+    got = sorted(
+        (r.doc_id, r.eid, r.val)
+        for r in table.read().select("doc_id", "eid", "val").collect()
+    )
+    assert got == _delete_model(events, lo, hi, tomb, post)
