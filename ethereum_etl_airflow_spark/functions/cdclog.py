@@ -294,3 +294,74 @@ def cdc_safe_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("head_seq").over(w).alias("safe_watermark"),
         (F.col("head_seq") - F.min("head_seq").over(w)).alias("lag_behind_head"),
     )
+
+
+def multiplex_feeds(feeds, key: str = "doc_id", seq: str = "seq") -> DataFrame:
+    """Merge N change feeds with source priority: the winning row per
+    key has the highest (seq, source_rank) — seq ties (the same change
+    observed via two routes, e.g. a backfill export and the live
+    binlog tail) resolve to the higher-priority source. One union +
+    ONE hash aggregate (max_by with map-side partial combine) — no
+    window sort, no self-join; the same skew-proof shape as fold_lww.
+
+    ``feeds`` is a list of (DataFrame, rank:int); higher rank wins ties.
+    """
+    from functools import reduce
+
+    tagged = [
+        df.withColumn("_src_rank", F.lit(int(r)).cast("int")) for df, r in feeds
+    ]
+    allf = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), tagged)
+    cols = [c for c in allf.columns if c != key]
+    winner = F.max_by(
+        F.struct(*cols), F.struct(F.col(seq), F.col("_src_rank"))
+    )
+    return (
+        allf.groupBy(key)
+        .agg(winner.alias("_w"))
+        .select(key, *[F.col(f"_w.{c}").alias(c) for c in cols])
+    )
+
+
+@register(
+    "cdc_multiplex_priority",
+    oracle="""
+    WITH a AS (
+        SELECT CAST(event_id AS VARCHAR) AS doc_id, event_id AS seq,
+               0 AS r, CAST(value AS DOUBLE) AS val
+        FROM events
+        UNION ALL
+        SELECT CAST(event_id AS VARCHAR), event_id, 1,
+               CAST(value AS DOUBLE) * 3
+        FROM events WHERE event_id % 2 = 0
+    )
+    SELECT doc_id,
+           arg_max(r, seq * 2 + r) AS src_rank,
+           arg_max(val, seq * 2 + r) AS val
+    FROM a GROUP BY doc_id
+    """,
+    doc="multi-source CDC multiplex: a full backfill feed (rank 0) and "
+    "a live feed covering even keys at the SAME seq (rank 1) merge "
+    "with priority tie-break — even keys take the live image, odd "
+    "keys keep the backfill; one union + one max_by hash agg",
+    survey_ref="the reference's dual ingestion routes (daily export "
+    "MERGE vs externally-streamed live tables, "
+    "build_verify_streaming_dag.py:95-100) reconciled by priority; "
+    "M2 keyed upsert generalized to N sources",
+)
+def cdc_multiplex_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    backfill = ev.select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("value").cast("double").alias("val"),
+    )
+    live = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        (F.col("value").cast("double") * 3).alias("val"),
+    )
+    merged = multiplex_feeds([(backfill, 0), (live, 1)])
+    return merged.select(
+        "doc_id", F.col("_src_rank").alias("src_rank"), "val"
+    )

@@ -148,7 +148,14 @@ def apply_changes(
 
     if compact_set:
         compact_list = sorted(compact_set)
-        existing = table.read_files(compact_list)
+        if SnapshotTable._live_delete_layers(table.snapshot(), compact_list):
+            # pending merge-on-read delete layers on these buckets: fold
+            # through the layer-aware path (read_raw materializes the
+            # masks); the commit's replace then clears the layers —
+            # folding raw files here would silently drop the deletes
+            existing = table.read_raw(compact_list)
+        else:
+            existing = table.read_files(compact_list)
         full = fold_lww(
             existing.unionByName(
                 delta.where(F.col("_bucket").isin(compact_list)).drop("_bucket"),

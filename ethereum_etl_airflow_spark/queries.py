@@ -1522,6 +1522,80 @@ def cdc_delete_where_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "eid", "val")
 
 
+@register(
+    "cdc_delete_files_lifecycle",
+    oracle="""
+    WITH b AS (
+        SELECT (MAX(event_id) * 25) // 100 AS lo,
+               (MAX(event_id) * 50) // 100 AS hi,
+               (MAX(event_id) * 30) // 100 AS re,
+               MAX(event_id) AS mx
+        FROM events
+    )
+    SELECT CAST(event_id AS VARCHAR) AS doc_id,
+           event_id AS eid,
+           CAST(CASE WHEN event_id BETWEEN b.lo AND b.re
+                     THEN CAST(value AS DOUBLE) * 2
+                     ELSE CAST(value AS DOUBLE) END AS DOUBLE) AS val
+    FROM events, b
+    WHERE event_id NOT BETWEEN b.lo AND b.hi
+       OR event_id BETWEEN b.lo AND b.re
+    """,
+    doc="merge-on-read delete files (Iceberg v2 shape): ingest in three "
+    "seq-ordered commits, delete_where_lazy strips [25%,50%] of the id "
+    "space with a METADATA-ONLY commit (no data read/rewritten), then a "
+    "post-delete batch re-inserts [25%,30%] at higher seq — sequence "
+    "scoping lets the newer events win while the rest of the band stays "
+    "masked at read time",
+    survey_ref="M3 delete/GC deferred to read time; Iceberg v2 "
+    "positional/equality delete files with sequence-number scoping",
+)
+def cdc_delete_files_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    changes = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    table = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="del_files_") + "/t",
+        num_buckets=8,
+        stats_cols=["eid"],
+    )
+    thirds = (mx // 3, 2 * mx // 3)
+    apply_changes(table, changes.where(F.col("seq") <= thirds[0]), "st", epoch=0)
+    apply_changes(
+        table,
+        changes.where((F.col("seq") > thirds[0]) & (F.col("seq") <= thirds[1])),
+        "st",
+        epoch=1,
+    )
+    apply_changes(table, changes.where(F.col("seq") > thirds[1]), "st", epoch=2)
+    lo, hi, re = mx * 25 // 100, mx * 50 // 100, mx * 30 // 100
+    rep = table.delete_where_lazy("eid", lo=lo, hi=hi)
+    assert rep["buckets_scoped"] >= 1
+    # post-delete feed events: [lo, re] comes back at doubled value with
+    # seq above everything the delete masked — sequence scoping wins
+    reinsert = ev.where(F.col("event_id").between(lo, re)).select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        (F.col("event_id") + F.lit(mx)).alias("seq"),
+        F.col("event_id").alias("eid"),
+        (F.col("value").cast("double") * 2).alias("val"),
+    )
+    apply_changes(table, reinsert, "st", epoch=3)
+    return table.read().select("doc_id", "eid", "val")
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401

@@ -557,8 +557,174 @@ class SnapshotTable:
     ) -> DataFrame:
         """Folded scan: one row per doc_id (highest (_seq, _epoch) wins).
         Includes tombstone rows (deleted keys retained with their seq so
-        late stale events cannot resurrect them — Kafka-compaction-style)."""
-        return fold_lww(self.read_files(buckets, version, columns))
+        late stale events cannot resurrect them — Kafka-compaction-style).
+
+        Honors pending merge-on-read delete layers
+        (:meth:`delete_where_lazy`): scoped files fold first, matching
+        current rows convert to tombstones at their own (_seq, _epoch),
+        then later files fold on top — so feed events newer than the
+        delete win, stale ones don't resurrect."""
+        snap = self.snapshot(version)
+        layers = self._live_delete_layers(snap, buckets)
+        if not layers:
+            return fold_lww(self.read_files(buckets, version, columns))
+        return self._fold_with_delete_layers(snap, buckets, columns, layers)
+
+    @staticmethod
+    def _live_delete_layers(snap: dict, buckets: list[int] | None) -> list[dict]:
+        """Pending delete layers whose file scope touches the requested
+        buckets, in commit (= application) order."""
+        layers = snap.get("delete_layers") or []
+        if not layers:
+            return []
+        if buckets is None:
+            return list(layers)
+        req = {str(b) for b in buckets}
+        return [lay for lay in layers if any(b in req for b in lay["files"])]
+
+    def _mask_deleted(
+        self,
+        df: DataFrame,
+        lay: dict,
+        scope_buckets: list[int] | None,
+        nb: int,
+    ) -> DataFrame:
+        """Convert live rows matching the layer (restricted to
+        ``scope_buckets`` when given) into tombstones at their existing
+        (_seq, _epoch), payload nulled — the folded form of an Iceberg
+        delete file. Predicate layers (``col``/``lo``/``hi``) never
+        match null values (feed tombstones carry null payloads);
+        equality layers (``key_file``) match on doc_id membership in a
+        parquet-backed key set (broadcast-joined, never collected)."""
+        if lay.get("key_file") is not None:
+            keys = (
+                self.spark.read.parquet(os.path.join(self.root, lay["key_file"]))
+                .select(F.col("doc_id").alias("__delkey"))
+                .distinct()
+            )
+            df = df.join(
+                F.broadcast(keys),
+                df["doc_id"] == keys["__delkey"],
+                "left_outer",
+            )
+            cond = F.col("__delkey").isNotNull()
+        else:
+            col, lo, hi = lay["col"], lay.get("lo"), lay.get("hi")
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col(col) >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (F.col(col) <= F.lit(hi))
+        live = ~F.coalesce(F.col("_tombstone"), F.lit(False))
+        match = live & F.coalesce(cond, F.lit(False))
+        if scope_buckets is not None:
+            match = match & bucket_expr(F.col("doc_id"), nb).isin(
+                [int(b) for b in scope_buckets]
+            )
+        out = df.withColumn("_del", match)
+        for f in df.schema.fields:
+            if f.name in ("doc_id", "__delkey", *INTERNAL_COLS):
+                continue
+            out = out.withColumn(
+                f.name,
+                F.when(F.col("_del"), F.lit(None).cast(f.dataType)).otherwise(
+                    F.col(f.name)
+                ),
+            )
+        return (
+            out.withColumn(
+                "_tombstone",
+                F.coalesce(F.col("_tombstone"), F.lit(False)) | F.col("_del"),
+            )
+            .drop("_del")
+            .drop("__delkey")
+        )
+
+    def _fold_with_delete_layers(
+        self,
+        snap: dict,
+        buckets: list[int] | None,
+        columns: list[str] | None,
+        layers: list[dict],
+    ) -> DataFrame:
+        """Layered LWW fold (the merge-on-read read path with pending
+        delete files): each layer's scoped files fold and mask in commit
+        order, files committed after a layer fold on top of the masked
+        state. Cost is one extra hash agg per pending layer — compaction
+        (:meth:`compact`) materializes the masks and clears the layers."""
+        schema = T.StructType.fromJson(snap["schema"])
+        nb = int(snap.get("num_buckets") or 1)
+        req = (
+            {str(b) for b in buckets}
+            if buckets is not None
+            else set(snap["bucket_files"])
+        )
+        pred_cols = [lay["col"] for lay in layers if lay.get("col")]
+
+        def scan(rels: list[str]) -> DataFrame | None:
+            if not rels:
+                return None
+            df = self.spark.read.schema(schema).parquet(
+                *[os.path.join(self.root, r) for r in rels]
+            )
+            if columns is not None:
+                need = ["doc_id", *INTERNAL_COLS, *pred_cols]
+                sel = need + [c for c in columns if c not in need]
+                seen: set[str] = set()
+                keep = [
+                    c
+                    for c in sel
+                    if c in df.columns and not (c in seen or seen.add(c))
+                ]
+                df = df.select(*keep)
+            return df
+
+        cur: DataFrame | None = None
+        done: set[str] = set()
+        for lay in layers:
+            rels = [
+                f
+                for b, fs in lay["files"].items()
+                if b in req
+                for f in fs
+                if f not in done
+            ]
+            done.update(rels)
+            part = scan(rels)
+            if part is None and cur is None:
+                continue
+            merged = (
+                part
+                if cur is None
+                else (cur if part is None else cur.unionByName(part))
+            )
+            cur = self._mask_deleted(
+                fold_lww(merged),
+                lay,
+                sorted(int(b) for b in lay["files"] if b in req),
+                nb,
+            )
+        rest = [
+            f
+            for b in sorted(req, key=int)
+            for f in snap["bucket_files"].get(b, [])
+            if f not in done
+        ]
+        tail = scan(rest)
+        if cur is None:
+            out = fold_lww(tail) if tail is not None else self.spark.createDataFrame([], schema)
+        elif tail is None:
+            out = cur
+        else:
+            out = fold_lww(cur.unionByName(tail))
+        if columns is not None:
+            keep = ["doc_id", *INTERNAL_COLS] + [
+                c
+                for c in columns
+                if c not in ("doc_id", *INTERNAL_COLS)
+            ]
+            out = out.select(*[c for c in keep if c in out.columns])
+        return out
 
     def read(
         self,
@@ -788,6 +954,23 @@ class SnapshotTable:
         # the queried snapshot's fan-out + blooms, not the current ones —
         # time travel across a rebucket must prune with the old layout
         snap = self.snapshot(version)
+        from ethereum_etl_airflow_spark.functions.hashing import bucket_of
+
+        key_buckets = sorted(
+            {bucket_of(d, int(snap.get("num_buckets") or 1)) for d in doc_ids}
+        )
+        if self._live_delete_layers(snap, key_buckets):
+            # pending merge-on-read deletes on these buckets: the mask
+            # decision needs the bucket's full folded state, so bloom
+            # file-pruning is off until compaction clears the layers
+            folded = self.read_raw(key_buckets, version).where(
+                F.col("doc_id").isin(doc_ids)
+            )
+            if "_tombstone" in folded.columns:
+                folded = folded.where(
+                    ~F.coalesce(F.col("_tombstone"), F.lit(False))
+                )
+            return folded
         rels = self.plan_lookup(snap, doc_ids)
         schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
         if not rels or schema is None:
@@ -865,6 +1048,7 @@ class SnapshotTable:
         properties: dict | None = None,
         sort_cols: list[str] | None = None,
         max_retries: int = 0,
+        delete_layers: list[dict] | None = None,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -890,6 +1074,11 @@ class SnapshotTable:
         auto-retry, and a rebase is refused when the head was rebucketed
         or already carries this (app_id, epoch).
 
+        ``delete_layers`` appends merge-on-read delete entries (see
+        :meth:`delete_where_lazy`) in the same atomic commit; with
+        ``out_df=None`` the commit is METADATA-ONLY — no Spark job, no
+        data files written (the Iceberg delete-file commit shape).
+
         Caller owns the MERGE/fold semantics; this layer guarantees
         only atomicity + fencing (the Iceberg-commit seam).
         """
@@ -897,19 +1086,20 @@ class SnapshotTable:
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self._data, commit_id)
 
-        if align_buckets:
-            n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
-            out_df = out_df.repartition(n_out, "_bucket")
-        # sort within each file: parquet column min/max stats then let
-        # scans skip whole row groups (Iceberg sort-order analogue; the
-        # write already sorts by _bucket for partitionBy, the extra keys
-        # cost nothing extra). Default key = doc_id (point lookups);
-        # ``sort_cols`` overrides for layout rewrites (e.g. a Z-order
-        # key for 2-D pruning, or _seq for replay-range scans).
-        sort_keys = ["_bucket", *(sort_cols or ["doc_id"])]
-        out_df.sortWithinPartitions(*sort_keys).write.partitionBy(
-            "_bucket"
-        ).parquet(out_dir)
+        if out_df is not None:
+            if align_buckets:
+                n_out = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                out_df = out_df.repartition(n_out, "_bucket")
+            # sort within each file: parquet column min/max stats then let
+            # scans skip whole row groups (Iceberg sort-order analogue; the
+            # write already sorts by _bucket for partitionBy, the extra keys
+            # cost nothing extra). Default key = doc_id (point lookups);
+            # ``sort_cols`` overrides for layout rewrites (e.g. a Z-order
+            # key for 2-D pruning, or _seq for replay-range scans).
+            sort_keys = ["_bucket", *(sort_cols or ["doc_id"])]
+            out_df.sortWithinPartitions(*sort_keys).write.partitionBy(
+                "_bucket"
+            ).parquet(out_dir)
 
         # collect the files each bucket landed in
         written: dict[str, list[str]] = {}
@@ -1043,6 +1233,24 @@ class SnapshotTable:
             }
             if col_stats:
                 snap["file_col_stats"] = col_stats
+            # merge-on-read delete layers: base layers carry forward with
+            # their file scope intersected against the files still live —
+            # a compaction/rebucket that rewrote a bucket (its read
+            # already materialized the masks via read_raw) drops the
+            # bucket's scope automatically; fully-drained layers vanish
+            kept_layers: list[dict] = []
+            for lay in list(base.get("delete_layers") or []) + list(
+                delete_layers or []
+            ):
+                scope = {
+                    b: [f for f in fs if f in live]
+                    for b, fs in lay["files"].items()
+                }
+                scope = {b: fs for b, fs in scope.items() if fs}
+                if scope:
+                    kept_layers.append({**lay, "files": scope})
+            if kept_layers:
+                snap["delete_layers"] = kept_layers
             if self.bloom_bits:
                 # keep base entries only for files still live AND written
                 # under the same bloom_bits; stale-bits entries drop (their
@@ -1332,6 +1540,133 @@ class SnapshotTable:
             "version": result["version"],
         }
 
+    def delete_where_lazy(
+        self,
+        col: str,
+        lo=None,
+        hi=None,
+        app_id: str = "maintenance",
+    ) -> dict:
+        """Merge-on-read predicate DELETE (the Iceberg v2 delete-file
+        shape): commits a METADATA-ONLY delete layer — no Spark job, no
+        data read or rewritten, O(manifest) commit cost regardless of
+        table size. Readers (:meth:`read` / :meth:`read_raw` /
+        :meth:`lookup` / compaction) apply the layer at fold time:
+        current rows matching ``lo <= col <= hi`` become tombstones at
+        their existing (_seq, _epoch), so feed events NEWER than the
+        delete re-insert normally while stale ones cannot resurrect
+        (the eager :meth:`delete_where` ``tombstones=True`` semantics,
+        deferred).
+
+        The layer's file scope is the affected buckets' full live file
+        list at delete time — files committed later fold ON TOP of the
+        masked state (Iceberg's sequence-number scoping: a delete file
+        applies only to data files older than it). Buckets whose
+        per-file column stats prove no row can match are never scoped.
+        Each pending layer adds one hash agg to reads of its buckets;
+        :meth:`compact` materializes the masks (payload physically
+        nulled) and clears the layers. One atomic epoch-fenced commit."""
+        snap = self.snapshot()
+        if snap["version"] < 0:
+            raise ValueError("table has no snapshot yet")
+        candidates = set(self.plan_where(snap, col, lo, hi))
+        scope = {
+            b: list(files)
+            for b, files in snap["bucket_files"].items()
+            if any(f in candidates for f in files)
+        }
+        if not scope:
+            return {"buckets_scoped": 0, "version": snap["version"]}
+        result = self.commit(
+            None,
+            replace_buckets=set(),
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            delete_layers=[{"col": col, "lo": lo, "hi": hi, "files": scope}],
+            lineage={
+                "op": "delete_where_lazy",
+                "col": col,
+                "lo": lo,
+                "hi": hi,
+                "buckets_scoped": sorted(int(b) for b in scope),
+            },
+        )
+        return {
+            "buckets_scoped": len(scope),
+            "files_scoped": sum(len(fs) for fs in scope.values()),
+            "version": result["version"],
+        }
+
+    def delete_keys_lazy(
+        self,
+        doc_ids: "list[str] | DataFrame",
+        app_id: str = "maintenance",
+    ) -> dict:
+        """Equality-delete FILE (the second Iceberg v2 delete-file kind):
+        the key set is written as a small parquet file under the table's
+        data dir and referenced from a metadata-only delete layer — the
+        keys are never collected to the driver when given as a
+        DataFrame, so a 10^8-key erasure batch commits in O(key-file
+        write), not O(table). Readers mask matching current rows to
+        tombstones via a broadcast join against the key file; sequence
+        scoping is the same as :meth:`delete_where_lazy` (feed events
+        newer than the delete win). :meth:`compact` materializes the
+        masks; :meth:`expire_snapshots` GCs the key file once no live
+        manifest references it."""
+        snap = self.snapshot()
+        if snap["version"] < 0:
+            raise ValueError("table has no snapshot yet")
+        from ethereum_etl_airflow_spark.functions.hashing import bucket_of
+
+        nb = int(snap.get("num_buckets") or 1)
+        if isinstance(doc_ids, list):
+            key_df = self.spark.createDataFrame(
+                [(d,) for d in doc_ids], "doc_id string"
+            )
+            buckets = sorted({bucket_of(d, nb) for d in doc_ids})
+        else:
+            key_df = doc_ids.select(F.col("doc_id").cast("string"))
+            buckets = sorted(
+                r[0]
+                for r in key_df.select(
+                    bucket_expr(F.col("doc_id"), nb).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+        scope = {
+            str(b): list(snap["bucket_files"].get(str(b), []))
+            for b in buckets
+            if snap["bucket_files"].get(str(b))
+        }
+        if not scope:
+            return {"buckets_scoped": 0, "version": snap["version"]}
+        rel_dir = os.path.join("data", f"eqdel-{uuid.uuid4().hex}")
+        key_df.coalesce(1).write.parquet(os.path.join(self.root, rel_dir))
+        key_file = next(
+            os.path.join(rel_dir, fn)
+            for fn in os.listdir(os.path.join(self.root, rel_dir))
+            if fn.endswith(".parquet")
+        )
+        result = self.commit(
+            None,
+            replace_buckets=set(),
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            delete_layers=[{"key_file": key_file, "files": scope}],
+            lineage={
+                "op": "delete_keys_lazy",
+                "key_file": key_file,
+                "buckets_scoped": sorted(int(b) for b in scope),
+            },
+        )
+        return {
+            "buckets_scoped": len(scope),
+            "files_scoped": sum(len(fs) for fs in scope.values()),
+            "key_file": key_file,
+            "version": result["version"],
+        }
+
     def rewrite_sorted(self, sort_by: list[str], app_id: str = "maintenance") -> dict:
         """Layout rewrite (Iceberg ``rewrite_data_files`` with a sort
         order): compact every bucket to one file whose rows are sorted
@@ -1450,10 +1785,19 @@ class SnapshotTable:
                 continue
             v = int(entry.split("-")[1].split(".")[0])
             with open(os.path.join(self._meta, entry)) as f:
-                for files in json.load(f)["bucket_files"].values():
-                    ever_referenced.update(files)
+                snap_json = json.load(f)
+            for files in snap_json["bucket_files"].values():
+                ever_referenced.update(files)
+                if v in live_versions:
+                    referenced.update(files)
+            # equality-delete key files are data files too — referenced
+            # through delete_layers, not bucket_files
+            for lay in snap_json.get("delete_layers") or []:
+                kf = lay.get("key_file")
+                if kf:
+                    ever_referenced.add(kf)
                     if v in live_versions:
-                        referenced.update(files)
+                        referenced.add(kf)
         removed = 0
         orphan_cutoff = time.time() - orphan_grace_sec
         for dirpath, _dirnames, filenames in os.walk(self._data):
