@@ -542,12 +542,60 @@ class SnapshotTable:
         if schema is None or not files:
             empty_schema = schema or T.StructType([T.StructField("doc_id", T.StringType())])
             return self.spark.createDataFrame([], empty_schema)
-        df = self.spark.read.schema(schema).parquet(*files)
+        rels = [os.path.relpath(f, self.root) for f in files]
+        df = self._scan_rels(snap, rels)
         if columns is not None:
             need = ["doc_id", *INTERNAL_COLS]
             sel = need + [c for c in columns if c not in need]
             df = df.select(*[c for c in sel if c in df.columns])
         return df
+
+    def _scan_rels(self, snap: dict, rels: list[str]) -> DataFrame:
+        """Scan data files through the snapshot's CURRENT schema,
+        translating files written before a metadata-only column rename
+        (:meth:`rename_column`): each rename layer scopes the files
+        that carry the old name, so a scoped file is read through a
+        schema with the old name substituted back, then the column is
+        renamed forward. Files sharing the same applicable-rename
+        signature scan together — one read per generation, not per
+        file."""
+        schema = T.StructType.fromJson(snap["schema"])
+        layers = snap.get("rename_layers") or []
+        scoped = [
+            (i, {f for fs in lay["files"].values() for f in fs})
+            for i, lay in enumerate(layers)
+        ]
+        groups: dict[frozenset, list[str]] = {}
+        for rel in rels:
+            sig = frozenset(i for i, files in scoped if rel in files)
+            groups.setdefault(sig, []).append(rel)
+        parts: list[DataFrame] = []
+        for sig, group in groups.items():
+            read_schema = schema
+            # walk renames newest-first to recover the names the files
+            # were written under (a column renamed twice unwinds fully)
+            for i in sorted(sig, reverse=True):
+                lay = layers[i]
+                read_schema = T.StructType(
+                    [
+                        T.StructField(
+                            lay["old"] if f.name == lay["new"] else f.name,
+                            f.dataType,
+                            f.nullable,
+                        )
+                        for f in read_schema.fields
+                    ]
+                )
+            df = self.spark.read.schema(read_schema).parquet(
+                *[os.path.join(self.root, r) for r in group]
+            )
+            for i in sorted(sig):  # replay forward
+                df = df.withColumnRenamed(layers[i]["old"], layers[i]["new"])
+            parts.append(df.select(*[f.name for f in schema.fields]))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read_raw(
         self,
@@ -664,9 +712,7 @@ class SnapshotTable:
         def scan(rels: list[str]) -> DataFrame | None:
             if not rels:
                 return None
-            df = self.spark.read.schema(schema).parquet(
-                *[os.path.join(self.root, r) for r in rels]
-            )
+            df = self._scan_rels(snap, rels)
             if columns is not None:
                 need = ["doc_id", *INTERNAL_COLS, *pred_cols]
                 sel = need + [c for c in columns if c not in need]
@@ -698,9 +744,20 @@ class SnapshotTable:
                 if cur is None
                 else (cur if part is None else cur.unionByName(part))
             )
+            # a rename committed AFTER this delete layer changed the
+            # predicate column's current name — follow the chain (a
+            # live rename layer with old == this col can only postdate
+            # the delete: name reuse is blocked while the layer lives)
+            eff = dict(lay)
+            if eff.get("col"):
+                c = eff["col"]
+                for r in snap.get("rename_layers") or []:
+                    if r["old"] == c:
+                        c = r["new"]
+                eff["col"] = c
             cur = self._mask_deleted(
                 fold_lww(merged),
-                lay,
+                eff,
                 sorted(int(b) for b in lay["files"] if b in req),
                 nb,
             )
@@ -881,9 +938,7 @@ class SnapshotTable:
             return self.spark.createDataFrame(
                 [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
             )
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, rel) for rel in rels]
-        )
+        df = self._scan_rels(snap, rels)
         if "_seq" in df.columns:
             if lo is not None:
                 df = df.where(F.col("_seq") >= lo)
@@ -932,9 +987,7 @@ class SnapshotTable:
             return self.spark.createDataFrame(
                 [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
             )
-        df = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, rel) for rel in rels]
-        )
+        df = self._scan_rels(snap, rels)
         if col in df.columns:
             if lo is not None:
                 df = df.where(F.col(col) >= lo)
@@ -977,9 +1030,7 @@ class SnapshotTable:
             return self.spark.createDataFrame(
                 [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
             )
-        pruned = self.spark.read.schema(schema).parquet(
-            *[os.path.join(self.root, rel) for rel in rels]
-        ).where(F.col("doc_id").isin(doc_ids))
+        pruned = self._scan_rels(snap, rels).where(F.col("doc_id").isin(doc_ids))
         folded = fold_lww(pruned)
         if "_tombstone" in folded.columns:
             folded = folded.where(~F.coalesce(F.col("_tombstone"), F.lit(False)))
@@ -1049,6 +1100,7 @@ class SnapshotTable:
         sort_cols: list[str] | None = None,
         max_retries: int = 0,
         delete_layers: list[dict] | None = None,
+        rename_layers: list[dict] | None = None,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -1251,6 +1303,32 @@ class SnapshotTable:
                     kept_layers.append({**lay, "files": scope})
             if kept_layers:
                 snap["delete_layers"] = kept_layers
+            # column-rename layers: same carry-forward; a layer drains
+            # once every file written under the old name is rewritten
+            kept_renames: list[dict] = []
+            for lay in list(base.get("rename_layers") or []) + list(
+                rename_layers or []
+            ):
+                scope = {
+                    b: [f for f in fs if f in live]
+                    for b, fs in lay["files"].items()
+                }
+                scope = {b: fs for b, fs in scope.items() if fs}
+                if scope:
+                    kept_renames.append({**lay, "files": scope})
+            if kept_renames:
+                snap["rename_layers"] = kept_renames
+                # re-introducing a column named like a live layer's OLD
+                # name would make the unwind schema ambiguous (two
+                # fields with one physical name) — compact first
+                names = {f.name for f in schema.fields}
+                for lay in kept_renames:
+                    if lay["old"] in names:
+                        raise ValueError(
+                            f"column name {lay['old']!r} is still the "
+                            "write-time name of files under a pending "
+                            "rename layer; compact() before reusing it"
+                        )
             if self.bloom_bits:
                 # keep base entries only for files still live AND written
                 # under the same bloom_bits; stale-bits entries drop (their
@@ -1596,6 +1674,154 @@ class SnapshotTable:
             "files_scoped": sum(len(fs) for fs in scope.values()),
             "version": result["version"],
         }
+
+    def history_of(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
+        """Every retained row VERSION of the given keys, newest first
+        per key (``_seq`` desc, ``_epoch`` desc) — the row-level
+        debugging/audit surface (Iceberg's changelog scan narrowed to a
+        key): which events wrote this document, was it tombstoned, and
+        by which batch epoch. File pruning is the same driver-side
+        bucket+Bloom plan as :meth:`lookup`; versions already folded
+        away by compaction are gone (history depth = compaction
+        cadence, like any LSM)."""
+        snap = self.snapshot(version)
+        rels = self.plan_lookup(snap, doc_ids)
+        schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
+        if not rels or schema is None:
+            return self.spark.createDataFrame(
+                [], schema or T.StructType([T.StructField("doc_id", T.StringType())])
+            )
+        return (
+            self._scan_rels(snap, rels)
+            .where(F.col("doc_id").isin(doc_ids))
+            .orderBy("doc_id", F.desc("_seq"), F.desc("_epoch"))
+        )
+
+    def clone_to(self, new_root: str) -> "SnapshotTable":
+        """Zero-copy table clone (Iceberg snapshot/shallow clone): the
+        clone's first manifest references the source's CURRENT data
+        files by absolute path — no data moves. Writes to the clone
+        land under its own root and never touch the source; compaction
+        of the clone localizes its data fully. Caveat (same as Iceberg
+        shallow clones): :meth:`expire_snapshots` on the SOURCE can GC
+        files the clone still references — compact the clone (or keep
+        source retention) before expiring aggressively."""
+        snap = self.snapshot()
+        if snap["version"] < 0:
+            raise ValueError("cannot clone an empty table")
+
+        def absolutize(rel: str) -> str:
+            return rel if os.path.isabs(rel) else os.path.join(self.root, rel)
+
+        clone = SnapshotTable(
+            self.spark,
+            new_root,
+            num_buckets=int(snap.get("num_buckets") or self.num_buckets),
+            compact_files=self.compact_files,
+            bloom_bits=self.bloom_bits,
+            stats_cols=self.stats_cols,
+        )
+        if clone.exists():
+            raise ValueError(f"target already exists: {new_root}")
+        os.makedirs(clone._meta, exist_ok=True)
+        os.makedirs(clone._data, exist_ok=True)
+        new_snap = dict(snap)
+        new_snap["version"] = 0
+        new_snap["parent_version"] = -1
+        new_snap["committed_at"] = time.time()
+        new_snap["bucket_files"] = {
+            b: [absolutize(f) for f in fs]
+            for b, fs in snap["bucket_files"].items()
+        }
+        for key in ("file_seq_ranges", "file_col_stats", "file_blooms"):
+            if snap.get(key):
+                new_snap[key] = {absolutize(f): v for f, v in snap[key].items()}
+        for key in ("delete_layers", "rename_layers"):
+            if snap.get(key):
+                new_snap[key] = [
+                    {
+                        **lay,
+                        "files": {
+                            b: [absolutize(f) for f in fs]
+                            for b, fs in lay["files"].items()
+                        },
+                        **(
+                            {"key_file": absolutize(lay["key_file"])}
+                            if lay.get("key_file")
+                            else {}
+                        ),
+                    }
+                    for lay in snap[key]
+                ]
+        new_snap["lineage"] = {"op": "clone", "source": self.root, "source_version": snap["version"]}
+        clone._publish(new_snap)
+        return clone
+
+    def rename_column(self, old: str, new: str, app_id: str = "maintenance") -> dict:
+        """Metadata-only column RENAME (Iceberg's field-id rename,
+        without field ids): commits a rename layer scoping every live
+        file — those files keep their write-time column name on disk
+        and are read through a name-mapped schema; files written after
+        the rename carry the new name natively. No data is rewritten;
+        :meth:`compact` drains the layer. Renames stack (a→b then b→c
+        unwinds fully for the oldest files).
+
+        ``doc_id`` and the bookkeeping columns cannot be renamed; the
+        old name cannot be reused while any file still carries it
+        (commit() enforces — compact first). Per-file column stats and
+        driver-side :meth:`plan_where` pruning use the CURRENT name, so
+        pre-rename files simply fall back to always-scanned (never a
+        false skip)."""
+        if old in ("doc_id", *INTERNAL_COLS):
+            raise ValueError(f"cannot rename {old!r}")
+        snap = self.snapshot()
+        schema = self.schema()
+        if schema is None or old not in schema.fieldNames():
+            raise ValueError(f"no such column: {old!r}")
+        if new in schema.fieldNames():
+            raise ValueError(f"column already exists: {new!r}")
+        new_schema = T.StructType(
+            [
+                T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        scope = {b: list(fs) for b, fs in snap["bucket_files"].items() if fs}
+        result = self.commit(
+            None,
+            replace_buckets=set(),
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            new_schema=new_schema,
+            rename_layers=[{"old": old, "new": new, "files": scope}] if scope else None,
+            lineage={"op": "rename_column", "old": old, "new": new},
+        )
+        return {"version": result["version"], "files_scoped": sum(len(v) for v in scope.values())}
+
+    def drop_column(self, name: str, app_id: str = "maintenance") -> dict:
+        """Metadata-only column DROP: the column leaves the snapshot
+        schema in one commit; existing files keep the physical bytes
+        (schema-on-read ignores them) until compaction rewrites. The
+        name cannot be re-added with a DIFFERENT type while pre-drop
+        files remain (schema-by-name would read their old bytes) —
+        compact first; same-type re-adds behave as Iceberg's
+        new-field-id semantics EXCEPT old values resurface, so prefer
+        compaction before any re-add."""
+        if name in ("doc_id", *INTERNAL_COLS):
+            raise ValueError(f"cannot drop {name!r}")
+        schema = self.schema()
+        if schema is None or name not in schema.fieldNames():
+            raise ValueError(f"no such column: {name!r}")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        result = self.commit(
+            None,
+            replace_buckets=set(),
+            app_id=app_id,
+            epoch=self.last_epoch(app_id) + 1,
+            new_schema=new_schema,
+            lineage={"op": "drop_column", "column": name},
+        )
+        return {"version": result["version"]}
 
     def delete_keys_lazy(
         self,
