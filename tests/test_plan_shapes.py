@@ -471,6 +471,18 @@ EXPECTATIONS = {
     "text_bigram_surprisal_backoff": dict(
         max_python=0, max_scans=2, max_read_cols=2, executed=True
     ),
+    # hopping windows: the Expand (2 windows/row) feeds ONE partial+
+    # final hash agg — a single shuffle carrying group count, not 2x
+    # the events; no join, no window-sort, JVM-only, 3-col scan
+    "events_hopping_window": dict(
+        max_exchanges=1, max_python=0, max_scans=1, max_read_cols=3
+    ),
+    # multi-feed priority merge: union + ONE max_by hash agg (map-side
+    # combine = the fold_lww skew defense); two scans of the feed
+    # halves, never a window sort or self-join
+    "cdc_multiplex_priority": dict(
+        max_exchanges=1, max_python=0, max_scans=2, max_read_cols=2
+    ),
 }
 
 
