@@ -189,7 +189,15 @@ def apply_changes(
         app_id=app_id,
         epoch=epoch,
         new_schema=new_schema,
-        lineage=None,  # filled below once observations resolve
+        # manifest-side marker (the full metrics lineage below resolves
+        # only after observations and is returned to the caller): CDF
+        # stream readers use op + compacted_buckets to tell delta rows
+        # from compaction rewrites inside the same commit
+        lineage={
+            "op": "cdc_apply",
+            "epoch": epoch,
+            "compacted_buckets": sorted(compact_set),
+        },
         align_buckets=align,
         properties=properties,
     )
