@@ -1101,6 +1101,7 @@ class SnapshotTable:
         max_retries: int = 0,
         delete_layers: list[dict] | None = None,
         rename_layers: list[dict] | None = None,
+        prewritten: dict[str, list[str]] | None = None,
     ) -> dict:
         """Publish one atomic commit. ``out_df`` carries a ``_bucket``
         column; for buckets in ``replace_buckets`` the output rows are
@@ -1131,6 +1132,15 @@ class SnapshotTable:
         ``out_df=None`` the commit is METADATA-ONLY — no Spark job, no
         data files written (the Iceberg delete-file commit shape).
 
+        ``prewritten`` (with ``out_df=None``) commits per-bucket data
+        files some OTHER writer already placed under the table root
+        (root-relative paths) — the DSv2-style two-phase commit: tasks
+        write, the driver publishes one manifest. No SparkSession is
+        touched on this path (footer stats via pyarrow, manifest via
+        atomic rename), so a sink's ``commit()`` callback can run it
+        without a session handle. Bloom entries are skipped for such
+        files (absent entry = always scanned — never a false skip).
+
         Caller owns the MERGE/fold semantics; this layer guarantees
         only atomicity + fencing (the Iceberg-commit seam).
         """
@@ -1154,7 +1164,7 @@ class SnapshotTable:
             ).parquet(out_dir)
 
         # collect the files each bucket landed in
-        written: dict[str, list[str]] = {}
+        written: dict[str, list[str]] = dict(prewritten or {})
         if os.path.isdir(out_dir):
             for entry in os.listdir(out_dir):
                 if not entry.startswith("_bucket="):
@@ -1175,7 +1185,7 @@ class SnapshotTable:
         # gets a superset bloom per file — still correct, never false-
         # absent)
         new_bloom_entries: dict[str, list[int]] = {}
-        if self.bloom_bits and written:
+        if self.bloom_bits and written and out_df is not None:
             bucket_words = self._commit_bloom_words(out_df)
             for b, files in written.items():
                 words = bucket_words.get(b)
