@@ -1596,6 +1596,108 @@ def cdc_delete_files_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "eid", "val")
 
 
+@register(
+    "cdc_delete_keys_lifecycle",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS doc_id,
+           event_id AS eid,
+           CAST(value AS DOUBLE) AS val
+    FROM events
+    WHERE event_id % 7 <> 0 OR event_id % 14 = 0
+    """,
+    doc="equality-delete FILE (Iceberg v2): ingest, then an erasure "
+    "batch of every 7th key lands as a parquet key file referenced by "
+    "a metadata-only layer (keys never collected to the driver); a "
+    "post-delete feed batch re-inserts every 14th key at higher seq — "
+    "those win, the rest stay masked",
+    survey_ref="M3 keyed delete via Iceberg v2 equality-delete files; "
+    "right-to-erasure batch at O(key-file write) commit cost",
+)
+def cdc_delete_keys_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="del_keys_") + "/t", num_buckets=8
+    )
+    apply_changes(table, changes, "st", epoch=0)
+    keys = ev.where(F.col("event_id") % 7 == 0).select(
+        F.col("event_id").cast("string").alias("doc_id")
+    )
+    table.delete_keys_lazy(keys)  # DataFrame in, never collected
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    reinsert = ev.where(F.col("event_id") % 14 == 0).select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        (F.col("event_id") + F.lit(mx)).alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    apply_changes(table, reinsert, "st", epoch=1)
+    return table.read().select("doc_id", "eid", "val")
+
+
+@register(
+    "cdc_schema_rename_lifecycle",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS doc_id,
+           event_id AS event_num,
+           CAST(CASE WHEN event_id % 5 = 0
+                     THEN CAST(value AS DOUBLE) * 2
+                     ELSE CAST(value AS DOUBLE) END AS DOUBLE) AS score
+    FROM events
+    """,
+    doc="metadata-only column rename mid-stream: ingest under "
+    "(eid, val), rename both columns with zero data rewritten, then a "
+    "post-rename batch under the NEW names updates every 5th key — "
+    "pre-rename files read through the name mapping, both generations "
+    "fold together",
+    survey_ref="schema evolution beyond add/widen (north rule; "
+    "reference's ALTER TABLE migration docs would rewrite) — Iceberg "
+    "field-id rename semantics",
+)
+def cdc_schema_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="ren_") + "/t", num_buckets=8
+    )
+    apply_changes(table, changes, "st", epoch=0)
+    table.rename_column("eid", "event_num")
+    table.rename_column("val", "score")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    update = ev.where(F.col("event_id") % 5 == 0).select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        (F.col("event_id") + F.lit(mx)).alias("seq"),
+        F.col("event_id").alias("event_num"),
+        (F.col("value").cast("double") * 2).alias("score"),
+    )
+    apply_changes(table, update, "st", epoch=1)
+    return table.read().select("doc_id", "event_num", "score")
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401
