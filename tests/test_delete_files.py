@@ -207,3 +207,95 @@ def test_projection_keeps_mask_correct(spark, tmp_path):
     got = sorted(int(r["doc_id"]) for r in t.read(columns=["val"]).collect())
     assert got == [i for i in range(60) if not (20 <= i <= 39)]
     assert set(t.read(columns=["val"]).columns) == {"doc_id", "val"}
+
+
+# --------------------------------------------------------------- property
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+DOCS = ["a", "b", "c", "d", "e"]
+
+
+@st.composite
+def delete_interleaving(draw):
+    """A program of CDC batches, lazy predicate deletes, lazy key
+    deletes, and compactions, with globally increasing seqs."""
+    ops = []
+    seq = 0
+    n_ops = draw(st.integers(2, 7))
+    has_batch = False
+    for _ in range(n_ops):
+        kind = draw(st.sampled_from(["batch", "batch", "delw", "delk", "compact"]))
+        if kind == "batch" or not has_batch:
+            events = []
+            for _ in range(draw(st.integers(1, 6))):
+                doc = draw(st.sampled_from(DOCS))
+                op = draw(st.sampled_from(["U", "U", "D"]))
+                eid = draw(st.integers(0, 20)) if op != "D" else None
+                val = f"v{seq}" if op != "D" else None
+                events.append((op, doc, seq, eid, val))
+                seq += 1
+            ops.append(("batch", events))
+            has_batch = True
+        elif kind == "delw":
+            lo = draw(st.integers(0, 15))
+            ops.append(("delw", lo, lo + draw(st.integers(0, 8))))
+        elif kind == "delk":
+            ops.append(("delk", draw(st.lists(st.sampled_from(DOCS), min_size=1, max_size=3, unique=True))))
+        else:
+            ops.append(("compact",))
+    return ops
+
+
+def _model_run(ops):
+    rows: dict[str, tuple] = {}  # doc -> (seq, epoch, tomb, eid, val)
+    epoch = 0
+    for op in ops:
+        if op[0] == "batch":
+            for ev_op, doc, seq, eid, val in op[1]:
+                cur = rows.get(doc)
+                if cur is None or (seq, epoch) >= (cur[0], cur[1]):
+                    rows[doc] = (seq, epoch, ev_op == "D", eid, val)
+            epoch += 1
+        elif op[0] == "delw":
+            _, lo, hi = op
+            for doc, (s, e, tomb, eid, val) in list(rows.items()):
+                if not tomb and eid is not None and lo <= eid <= hi:
+                    rows[doc] = (s, e, True, None, None)
+        elif op[0] == "delk":
+            for doc in op[1]:
+                cur = rows.get(doc)
+                if cur is not None and not cur[2]:
+                    rows[doc] = (cur[0], cur[1], True, None, None)
+        # compact: logical no-op
+    return sorted(
+        (doc, eid, val)
+        for doc, (s, e, tomb, eid, val) in rows.items()
+        if not tomb
+    )
+
+
+@given(delete_interleaving())
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_any_delete_interleaving_matches_model(spark, tmp_path_factory, ops):
+    root = str(tmp_path_factory.mktemp("delprop") / "t")
+    t = SnapshotTable(spark, root, num_buckets=4, compact_files=100, stats_cols=["eid"])
+    epoch = 0
+    for op in ops:
+        if op[0] == "batch":
+            apply_changes(t, _changes(spark, op[1]), "prop", epoch=epoch)
+            epoch += 1
+        elif op[0] == "delw":
+            t.delete_where_lazy("eid", lo=op[1], hi=op[2])
+        elif op[0] == "delk":
+            t.delete_keys_lazy(list(op[1]))
+        else:
+            t.compact()
+    got = sorted(
+        (r["doc_id"], r["eid"], r["val"]) for r in t.read().collect()
+    )
+    assert got == _model_run(ops)
