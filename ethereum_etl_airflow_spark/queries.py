@@ -1698,6 +1698,86 @@ def cdc_schema_rename_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("doc_id", "event_num", "score")
 
 
+@register(
+    "cdc_native_stream_chain",
+    oracle="""
+    SELECT CAST(event_id AS VARCHAR) AS doc_id,
+           event_id AS eid,
+           CAST(CASE WHEN event_id % 3 = 0
+                     THEN CAST(value AS DOUBLE) * 10
+                     ELSE CAST(value AS DOUBLE) END AS DOUBLE) AS val
+    FROM events
+    """,
+    doc="the NATIVE streaming chain under the correctness gate: table A "
+    "ingests two epochs (full load + updates of every 3rd key at "
+    "higher seq), then a real Structured Streaming query reads A's "
+    "commit log via readStream format('snapshot_cdf') (offsets = "
+    "manifest versions, Arrow file partitions) and writes table B via "
+    "writeStream format('snapshot_table') (two-phase epoch-fenced "
+    "commit); B's folded state must equal A's LWW fold",
+    survey_ref="§2.10 exactly-once end-to-end through the public "
+    "streaming APIs; the reference's live-view chain "
+    "(build_verify_streaming_dag.py:81-100) as pure readStream -> "
+    "writeStream",
+)
+def cdc_native_stream_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ethereum_etl_airflow_spark.operators.cdc import apply_changes
+    from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable
+    from ethereum_etl_airflow_spark.streaming.cdf_source import register_cdf_source
+    from ethereum_etl_airflow_spark.streaming.table_sink import register_table_sink
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    base = ev.select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("event_id").alias("seq"),
+        F.col("event_id").alias("eid"),
+        F.col("value").cast("double").alias("val"),
+    )
+    work = tempfile.mkdtemp(prefix="chain_")
+    a = SnapshotTable(spark, work + "/a", num_buckets=8)
+    apply_changes(a, base, "st", epoch=0)
+    updates = ev.where(F.col("event_id") % 3 == 0).select(
+        F.lit("U").alias("op"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        (F.col("event_id") + F.lit(mx)).alias("seq"),
+        F.col("event_id").alias("eid"),
+        (F.col("value").cast("double") * 10).alias("val"),
+    )
+    apply_changes(a, updates, "st", epoch=1)
+
+    register_cdf_source(spark)
+    register_table_sink(spark)
+    changes = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", a.root)
+        .option("starting_version", -1)
+        .load()
+        .select(
+            F.when(F.col("_tombstone"), "D").otherwise("U").alias("op"),
+            "doc_id",
+            F.col("_seq").alias("seq"),
+            "eid",
+            "val",
+        )
+    )
+    q = (
+        changes.writeStream.format("snapshot_table")
+        .option("path", work + "/b")
+        .option("app_id", "chain")
+        .option("num_buckets", "8")
+        .option("checkpointLocation", work + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    b = SnapshotTable(spark, work + "/b")
+    return b.read().select("doc_id", "eid", "val")
+
+
 # Training-data pipeline operator families (text analysis, dedup,
 # similarity search, multimodal) register themselves on import.
 from ethereum_etl_airflow_spark.functions import dedup as _dedup  # noqa: E402,F401

@@ -1685,6 +1685,69 @@ class SnapshotTable:
             "version": result["version"],
         }
 
+    def version_as_of(self, ts: float) -> int:
+        """Timestamp-based time travel (Iceberg ``TIMESTAMP AS OF``):
+        the newest retained snapshot committed at or before ``ts``
+        (unix seconds). Raises when every retained snapshot is newer
+        (the history before ``ts`` was expired)."""
+        best = -1
+        best_at = None
+        for entry in os.listdir(self._meta):
+            if not (entry.startswith("snapshot-") and entry.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self._meta, entry)) as f:
+                    snap = json.load(f)
+            except (OSError, ValueError):
+                continue
+            at = snap.get("committed_at", 0)
+            if at <= ts and (best_at is None or at > best_at):
+                best, best_at = snap["version"], at
+        if best < 0:
+            raise ValueError(
+                f"no retained snapshot at or before {ts} (expired?)"
+            )
+        return best
+
+    def rollback_to(self, version: int, app_id: str = "maintenance") -> dict:
+        """Snapshot rollback (Iceberg ``rollback_to_snapshot``): publish
+        a NEW commit whose content is the given retained snapshot's —
+        metadata-only (file lists, schema, layers, and fan-out copied;
+        no data moves), so the rollback is itself history (time travel
+        forward across it works) and the rolled-back-over snapshots
+        stay retained until :meth:`expire_snapshots`. Epoch fences are
+        NOT rolled back — a feed replaying after the rollback still
+        sees its epochs as applied; use :class:`operators.reorg` for a
+        fence-rewinding bucket-scoped rollback instead."""
+        old = self.snapshot(version)
+        cur = self.snapshot()
+        props = dict(cur["properties"])  # keep fences + cursors current
+        new_snap = {
+            "version": self._next_version(),
+            "parent_version": cur["version"],
+            "committed_at": time.time(),
+            "schema": old["schema"],
+            "num_buckets": old.get("num_buckets") or self.num_buckets,
+            "bucket_files": old["bucket_files"],
+            "commit_buckets": sorted(int(b) for b in old["bucket_files"]),
+            "bucket_rows_written": {},
+            "properties": props,
+            "lineage": {"op": "rollback", "to_version": version},
+        }
+        for key in (
+            "file_seq_ranges",
+            "file_col_stats",
+            "file_blooms",
+            "bloom_bits",
+            "delete_layers",
+            "rename_layers",
+        ):
+            if old.get(key) is not None:
+                new_snap[key] = old[key]
+        self._publish(new_snap)
+        self.num_buckets = int(new_snap["num_buckets"])
+        return new_snap
+
     def history_of(self, doc_ids: list[str], version: int | None = None) -> DataFrame:
         """Every retained row VERSION of the given keys, newest first
         per key (``_seq`` desc, ``_epoch`` desc) — the row-level

@@ -188,3 +188,33 @@ def test_zero_copy_clone_reads_and_diverges(spark, tmp_path):
         for f in fs:
             assert not os.path.isabs(f)
     assert ids(clone) == sorted([i for i in range(5, 20)])
+
+
+def test_timestamp_time_travel_and_rollback(spark, tmp_path):
+    import time as _time
+
+    t = _table(spark, tmp_path)
+    apply_changes(t, _changes(spark, [("U", "1", 1, 1, "a")]), "st", epoch=0)
+    ts_after_first = _time.time()
+    v1 = t.current_version()
+    _time.sleep(0.05)
+    apply_changes(t, _changes(spark, [("U", "1", 2, 1, "b"), ("U", "2", 3, 2, "c")]), "st", epoch=1)
+    # TIMESTAMP AS OF resolves to the newest snapshot <= ts
+    assert t.version_as_of(ts_after_first) == v1
+    assert t.version_as_of(_time.time()) == t.current_version()
+    got = t.read(version=t.version_as_of(ts_after_first)).collect()
+    assert [(r["doc_id"], r["val"]) for r in got] == [("1", "a")]
+    # rollback publishes a NEW version with the old content
+    head_before = t.current_version()
+    rb = t.rollback_to(v1)
+    assert rb["version"] > head_before
+    assert {(r["doc_id"], r["val"]) for r in t.read().collect()} == {("1", "a")}
+    # rolled-over history remains readable; fences stay current
+    assert {(r["doc_id"], r["val"]) for r in t.read(version=head_before).collect()} == {
+        ("1", "b"),
+        ("2", "c"),
+    }
+    assert t.last_epoch("st") == 1
+    # the feed continues on top of the rollback
+    apply_changes(t, _changes(spark, [("U", "3", 9, 3, "d")]), "st", epoch=2)
+    assert {r["doc_id"] for r in t.read().collect()} == {"1", "3"}
