@@ -2010,11 +2010,26 @@ class SnapshotTable:
           files down to one (threshold compaction);
         * ``retention.snapshot_ttl_sec`` + ``retention.keep_last`` —
           expire snapshots older than the TTL (never dropping the last
-          ``keep_last``), GC unreferenced data files."""
-        props = self.snapshot()["properties"]
+          ``keep_last``), GC unreferenced data files;
+        * ``retention.max_delete_layers`` (default 4) — buckets whose
+          pending merge-on-read delete layers (delete_where_lazy /
+          delete_keys_lazy) reach this depth are compacted, draining
+          the layers: read amplification from lazy deletes stays
+          bounded without the caller tracking them."""
+        snap = self.snapshot()
+        props = snap["properties"]
         report: dict = {}
         thr = int(props.get("retention.compact_files", self.compact_files))
-        over = [b for b, c in self.file_counts().items() if c >= thr]
+        over = {b for b, c in self.file_counts().items() if c >= thr}
+        max_layers = int(props.get("retention.max_delete_layers", 4))
+        layer_counts: dict[int, int] = {}
+        for lay in snap.get("delete_layers") or []:
+            for b in lay["files"]:
+                layer_counts[int(b)] = layer_counts.get(int(b), 0) + 1
+        layered = {b for b, c in layer_counts.items() if c >= max_layers}
+        if layered:
+            report["delete_layers_drained_buckets"] = len(layered)
+        over |= layered
         if over:
             self.compact(sorted(over))
             report["compacted_buckets"] = len(over)

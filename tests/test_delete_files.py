@@ -299,3 +299,27 @@ def test_any_delete_interleaving_matches_model(spark, tmp_path_factory, ops):
         (r["doc_id"], r["eid"], r["val"]) for r in t.read().collect()
     )
     assert got == _model_run(ops)
+
+
+def test_maintain_drains_deep_delete_layers(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    _ingest(spark, t, n=60)
+    for i in range(4):  # default retention.max_delete_layers = 4
+        t.delete_where_lazy("eid", lo=i * 5, hi=i * 5 + 4)
+    assert len(t.snapshot().get("delete_layers") or []) == 4
+    before = _ids(t.read())
+    rep = t.maintain()
+    assert rep.get("delete_layers_drained_buckets", 0) >= 1
+    # stats pruning gives buckets different layer depths: only buckets
+    # at/over the threshold drain — afterwards NO bucket is >= 4 deep
+    counts = {}
+    for lay in t.snapshot().get("delete_layers") or []:
+        for b in lay["files"]:
+            counts[b] = counts.get(b, 0) + 1
+    assert all(c < 4 for c in counts.values())
+    assert _ids(t.read()) == before == list(range(20, 60))
+    # below the threshold: maintain leaves shallow layers alone
+    t.delete_where_lazy("eid", lo=20, hi=24)
+    t.maintain()
+    assert t.snapshot().get("delete_layers")
+    assert _ids(t.read()) == list(range(25, 60))
