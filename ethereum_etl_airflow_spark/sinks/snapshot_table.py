@@ -506,15 +506,19 @@ class SnapshotTable:
 
     # ------------------------------------------------------------------ read
 
-    def _files(
-        self, buckets: list[int] | None = None, version: int | None = None
-    ) -> list[str]:
-        snap = self.snapshot(version)
-        keys = [str(b) for b in buckets] if buckets is not None else list(snap["bucket_files"])
-        out: list[str] = []
-        for k in keys:
-            out.extend(os.path.join(self.root, rel) for rel in snap["bucket_files"].get(k, []))
-        return out
+    @staticmethod
+    def _manifest_rels(snap: dict, buckets: list[int] | None) -> list[str]:
+        """File paths EXACTLY as the manifest records them (relative for
+        locally-written files, absolute for clone references). Scan and
+        layer-scope matching must use this canonical form — joining to
+        the root and relpath-ing back mangles a clone's absolute entries
+        into '../..' forms that no layer scope contains."""
+        keys = (
+            [str(b) for b in buckets]
+            if buckets is not None
+            else list(snap["bucket_files"])
+        )
+        return [rel for k in keys for rel in snap["bucket_files"].get(k, [])]
 
     def read_files(
         self,
@@ -538,17 +542,27 @@ class SnapshotTable:
         needs them for correctness."""
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"]) if snap["schema"] else None
-        files = self._files(buckets, version)
-        if schema is None or not files:
+        rels = self._manifest_rels(snap, buckets)
+        if schema is None or not rels:
             empty_schema = schema or T.StructType([T.StructField("doc_id", T.StringType())])
             return self.spark.createDataFrame([], empty_schema)
-        rels = [os.path.relpath(f, self.root) for f in files]
         df = self._scan_rels(snap, rels)
         if columns is not None:
             need = ["doc_id", *INTERNAL_COLS]
             sel = need + [c for c in columns if c not in need]
             df = df.select(*[c for c in sel if c in df.columns])
         return df
+
+    @staticmethod
+    def _renamed_forward(snap: dict, col: str) -> str:
+        """CURRENT name of a column recorded under a historical name:
+        follow the live rename-layer chain in commit order (a live
+        layer with old == col can only postdate the recording — name
+        reuse is blocked while the layer lives)."""
+        for r in snap.get("rename_layers") or []:
+            if r["old"] == col:
+                col = r["new"]
+        return col
 
     def _scan_rels(self, snap: dict, rels: list[str]) -> DataFrame:
         """Scan data files through the snapshot's CURRENT schema,
@@ -658,7 +672,10 @@ class SnapshotTable:
             cond = F.col("__delkey").isNotNull()
         else:
             col, lo, hi = lay["col"], lay.get("lo"), lay.get("hi")
-            cond = F.lit(True)
+            # null predicate values never match, even for an unbounded
+            # layer — feed tombstones carry null payloads and must not
+            # be re-masked at a new epoch
+            cond = F.col(col).isNotNull()
             if lo is not None:
                 cond = cond & (F.col(col) >= F.lit(lo))
             if hi is not None:
@@ -707,7 +724,14 @@ class SnapshotTable:
             if buckets is not None
             else set(snap["bucket_files"])
         )
-        pred_cols = [lay["col"] for lay in layers if lay.get("col")]
+        # a projection must retain each predicate column under its
+        # CURRENT (rename-chained) name — _scan_rels renames forward,
+        # so the delete-time name may no longer exist in the frame
+        pred_cols = [
+            self._renamed_forward(snap, lay["col"])
+            for lay in layers
+            if lay.get("col")
+        ]
 
         def scan(rels: list[str]) -> DataFrame | None:
             if not rels:
@@ -750,11 +774,7 @@ class SnapshotTable:
             # the delete: name reuse is blocked while the layer lives)
             eff = dict(lay)
             if eff.get("col"):
-                c = eff["col"]
-                for r in snap.get("rename_layers") or []:
-                    if r["old"] == c:
-                        c = r["new"]
-                eff["col"] = c
+                eff["col"] = self._renamed_forward(snap, eff["col"])
             cur = self._mask_deleted(
                 fold_lww(merged),
                 eff,
@@ -1271,6 +1291,10 @@ class SnapshotTable:
                 "bucket_files": bucket_files,
                 "commit_buckets": commit_buckets,
                 "bucket_rows_written": bucket_rows,
+                # THIS commit's own added-file list — the CDF source
+                # plans change partitions from it directly, so planning
+                # never needs the parent manifest (which may be expired)
+                "added_files": {b: list(fs) for b, fs in written.items()},
                 "properties": props,
                 "lineage": lineage or {},
             }

@@ -109,17 +109,36 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
             lin = snap.get("lineage") or {}
             if lin.get("op") != "cdc_apply":
                 continue  # maintenance rewrite — no new logical changes
-            parent = _read_manifest(self.root, snap.get("parent_version", v - 1))
-            prev_files = (
-                {f for fs in parent["bucket_files"].values() for f in fs}
-                if parent
-                else set()
-            )
+            added = snap.get("added_files")
+            if added is None:
+                # legacy manifest (pre added_files): infer the commit's
+                # new files by diffing against the parent. If the parent
+                # snapshot was expired, the diff would re-emit every
+                # carried-forward file as a duplicate change burst —
+                # fail the batch explicitly instead.
+                parent = _read_manifest(
+                    self.root, snap.get("parent_version", v - 1)
+                )
+                if parent is None and snap.get("parent_version", v - 1) >= 0:
+                    raise RuntimeError(
+                        f"cdf planning for commit v{v} needs parent "
+                        f"manifest v{snap.get('parent_version')} which was "
+                        "expired — restart the stream from a retained "
+                        "version (starting_version) or re-commit with a "
+                        "manifest that records added_files"
+                    )
+                prev_files = (
+                    {f for fs in parent["bucket_files"].values() for f in fs}
+                    if parent
+                    else set()
+                )
+                added = {
+                    b: [f for f in files if f not in prev_files]
+                    for b, files in snap["bucket_files"].items()
+                }
             compacted = {str(b) for b in lin.get("compacted_buckets") or []}
-            for b, files in snap["bucket_files"].items():
+            for b, files in added.items():
                 for rel in files:
-                    if rel in prev_files:
-                        continue
                     out.append(
                         _FilePartition(
                             path=os.path.join(self.root, rel),

@@ -82,12 +82,46 @@ def _storage_schema(batch_schema: T.StructType) -> T.StructType:
     return T.StructType(fields)
 
 
+def _manifest_num_buckets(root: str) -> int | None:
+    """Fan-out of an existing table at ``root`` (None when absent) —
+    read driver-side from the manifest JSON, no Spark session."""
+    import json
+
+    try:
+        with open(os.path.join(root, "_meta", "VERSION")) as f:
+            v = int(f.read().strip())
+        with open(
+            os.path.join(root, "_meta", f"snapshot-{v:012d}.json")
+        ) as f:
+            nb = json.load(f).get("num_buckets")
+        return int(nb) if nb else None
+    except (OSError, ValueError):
+        return None
+
+
 class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict, schema: T.StructType):
         self.root = options["path"]
         self.app_id = options.get("app_id", "stream_sink")
-        self.num_buckets = int(options.get("num_buckets", 8))
         self.batch_schema = schema
+        # an existing table's bucket fan-out is owned by its manifest
+        # (it may differ from the option, e.g. after a rebucket) —
+        # executors MUST bucket rows with the manifest's value or
+        # bucket-pruned reads silently miss rows. Resolve here on the
+        # driver, before the writer pickles to executors; an explicit
+        # mismatching option is an error, not a silent override.
+        opt_nb = options.get("num_buckets")
+        manifest_nb = _manifest_num_buckets(self.root)
+        if manifest_nb is not None:
+            if opt_nb is not None and int(opt_nb) != manifest_nb:
+                raise ValueError(
+                    f"num_buckets option ({opt_nb}) conflicts with the "
+                    f"existing table's manifest fan-out ({manifest_nb}) "
+                    f"at {self.root}; drop the option or rebucket first"
+                )
+            self.num_buckets = manifest_nb
+        else:
+            self.num_buckets = int(opt_nb) if opt_nb is not None else 8
 
     # ---------------------------------------------------------- executor
 
