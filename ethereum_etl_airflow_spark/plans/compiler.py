@@ -230,7 +230,27 @@ def compile_spec_hex(
                 res = res[~fail]
             yield res
 
-    return out.mapInPandas(run, schema)
+    decoded = out.mapInPandas(run, schema)
+
+    # real reference defs declare the output contract in table.schema
+    # (STRING for every scalar in all 7,062 defs — the JS UDF emits
+    # strings): coerce primitive / primitive-array decodes to string so
+    # a migrated user sees the reference's column types. RECORD (tuple)
+    # columns keep the decoded struct; engine-native specs (no
+    # out_type) keep engine typing.
+    coerce = {}
+    for f in p.fields:
+        if (f.out_type or "").upper() != "STRING":
+            continue
+        dt = decoded_types[f.name]
+        if isinstance(dt, T.ArrayType):
+            if not isinstance(
+                dt.elementType, (T.ArrayType, T.StructType, T.MapType)
+            ):
+                coerce[f.name] = F.col(f.name).cast("array<string>")
+        elif not isinstance(dt, (T.StringType, T.StructType)):
+            coerce[f.name] = F.col(f.name).cast("string")
+    return decoded.withColumns(coerce) if coerce else decoded
 
 
 def compile_spec_pandas(spec: ExtractionSpec, source: DataFrame) -> DataFrame:

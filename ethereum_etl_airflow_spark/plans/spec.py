@@ -41,6 +41,10 @@ class FieldSpec:
     type: str  # Spark SQL type name (json encoding) or '' (hex encoding)
     abi_type: str | None = None  # hex encoding: ABI type string, e.g. 'uint256'
     indexed: bool = False  # hex encoding: param rides topics, not data
+    #: declared output type from table.schema of a REAL reference def
+    #: ('STRING' coerces primitive decodes to string — the reference
+    #: emits every scalar column as STRING); None = engine-native typing
+    out_type: str | None = None
 
 
 @dataclass(frozen=True)
@@ -90,6 +94,48 @@ class SpecValidationError(ValueError):
     pass
 
 
+def _abi_type_string(inp: dict) -> str:
+    """ABI input dict -> canonical type string our parser accepts.
+    Tuples arrive as type 'tuple'/'tuple[]'/… plus a ``components``
+    list; flatten to '(t1 name1, t2 name2)[...]' recursively (the same
+    canonicalization eth_utils applies for selector hashing)."""
+    t = inp.get("type", "")
+    if t.startswith("tuple"):
+        comps = ", ".join(
+            _abi_type_string(c) + (f" {c['name']}" if c.get("name") else "")
+            for c in inp.get("components") or []
+        )
+        return "(" + comps + ")" + t[5:]
+    return t
+
+
+def _fields_from_abi(p: dict, t: dict) -> list[dict]:
+    """Derive decode fields for a REAL reference table definition
+    (``parser.abi.inputs`` + ``table.schema`` + ``field_mapping`` —
+    reader at dags/ethereumetl_airflow/parse/table_definition_reader.py:
+    14-40; all 7,062 reference defs carry no ``parser.fields``). Each
+    ABI input becomes one hex field: ``field_mapping`` renames the
+    output column, ``indexed`` routes it through topics, and the
+    declared ``table.schema`` type (STRING everywhere in the corpus)
+    coerces the decoded value to the reference's output contract."""
+    mapping = p.get("field_mapping") or {}
+    declared = {s.get("name"): s for s in (t.get("schema") or [])}
+    out = []
+    for inp in p["abi"]["inputs"]:
+        name = mapping.get(inp.get("name"), inp.get("name"))
+        if not name:
+            raise SpecValidationError("abi input without a name")
+        out.append(
+            {
+                "name": name,
+                "abi_type": _abi_type_string(inp),
+                "indexed": bool(inp.get("indexed", False)),
+                "out_type": (declared.get(name) or {}).get("type"),
+            }
+        )
+    return out
+
+
 @dataclass(frozen=True)
 class SqlViewSpec:
     """SQL-type table definition: a raw-SQL view over other specs'
@@ -130,7 +176,15 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
     p, t = d["parser"], d["table"]
     if p.get("type") not in ("log", "trace"):
         raise SpecValidationError(f"parser.type must be log|trace, got {p.get('type')}")
-    encoding = p.get("encoding", "json")
+    raw_fields = p.get("fields")
+    if raw_fields is None and (p.get("abi") or {}).get("inputs"):
+        # a real reference def: no parser.fields, no encoding key —
+        # the ABI *is* the field list, and the decode is the hex path
+        raw_fields = _fields_from_abi(p, t)
+        encoding = p.get("encoding", "hex")
+    else:
+        raw_fields = raw_fields or []
+        encoding = p.get("encoding", "json")
     if encoding not in ("json", "hex"):
         raise SpecValidationError(f"parser.encoding must be json|hex, got {encoding}")
     selector = p.get("selector")
@@ -149,7 +203,7 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
         raise SpecValidationError("parser.selector is required")
     fields = []
     seen: set[str] = set()
-    for f in p.get("fields", []):
+    for f in raw_fields:
         if f["name"] in seen:
             raise SpecValidationError(f"duplicate field {f['name']}")
         seen.add(f["name"])
@@ -168,6 +222,7 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
                 FieldSpec(
                     f["name"], "", "", abi_type=f["abi_type"],
                     indexed=bool(f.get("indexed", False)),
+                    out_type=f.get("out_type"),
                 )
             )
             continue
