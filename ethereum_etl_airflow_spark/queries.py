@@ -1032,6 +1032,106 @@ def parse_spec_hex_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_spec(spec, encoded).select("event_id", "from_addr", "to_addr", "amount")
 
 
+#: an ACTUAL reference table definition, verbatim shape (dags/resources/
+#: stages/parse/table_definitions/decentraland/Marketplace_event_
+#: OrderSuccessful.json): parser.abi.inputs + empty field_mapping +
+#: table.schema, NO parser.fields — parse_spec derives the decode
+#: fields from the ABI (table_definition_reader.py:14-40 surface).
+_ORDER_SUCCESSFUL_DEF = {
+    "parser": {
+        "abi": {
+            "anonymous": False,
+            "inputs": [
+                {"indexed": False, "name": "id", "type": "bytes32"},
+                {"indexed": True, "name": "assetId", "type": "uint256"},
+                {"indexed": True, "name": "seller", "type": "address"},
+                {"indexed": False, "name": "nftAddress", "type": "address"},
+                {"indexed": False, "name": "totalPrice", "type": "uint256"},
+                {"indexed": True, "name": "buyer", "type": "address"},
+            ],
+            "name": "OrderSuccessful",
+            "type": "event",
+        },
+        "contract_address": "0x8e5660b4ab70168b5a6feea0e0315cb49c8cd539",
+        "field_mapping": {},
+        "type": "log",
+    },
+    "table": {
+        "dataset_name": "decentraland",
+        "schema": [
+            {"description": "", "name": "id", "type": "STRING"},
+            {"description": "", "name": "assetId", "type": "STRING"},
+            {"description": "", "name": "seller", "type": "STRING"},
+            {"description": "", "name": "nftAddress", "type": "STRING"},
+            {"description": "", "name": "totalPrice", "type": "STRING"},
+            {"description": "", "name": "buyer", "type": "STRING"},
+        ],
+        "table_description": "",
+        "table_name": "Marketplace_event_OrderSuccessful",
+    },
+}
+
+
+@register(
+    "parse_reference_def_decode",
+    oracle="""
+    SELECT event_id,
+           '0x' || lower(lpad(to_hex(event_id + 11), 64, '0')) AS "id",
+           CAST(event_id AS VARCHAR) AS "assetId",
+           '0x' || substr(md5(CAST(user_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR)), 1, 40) AS "seller",
+           '0x' || substr(md5(CAST(user_id + 2 AS VARCHAR)) || md5(CAST(user_id + 2 AS VARCHAR)), 1, 40) AS "nftAddress",
+           CAST(event_id * 1000 + 7 AS VARCHAR) AS "totalPrice",
+           '0x' || substr(md5(CAST(user_id + 1 AS VARCHAR)) || md5(CAST(user_id + 1 AS VARCHAR)), 1, 40) AS "buyer"
+    FROM events
+    WHERE event_id % 10 <> 0 AND event_type <> 'error'
+    """,
+    doc="an ACTUAL reference table-definition JSON (no parser.fields) "
+    "ingested end-to-end: fields derived from parser.abi.inputs, topic0 "
+    "keccak-derived (= the public on-chain selector), contract filter "
+    "applied, indexed params from topics, STRING output coercion per "
+    "table.schema; corrupt payloads dropped null-on-failure",
+    survey_ref="table_definition_reader.py:14-40; parse_logs_udf.sql:1-47; "
+    "table_definitions/decentraland/Marketplace_event_OrderSuccessful.json",
+)
+def parse_reference_def_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    spec = parse_spec(_ORDER_SUCCESSFUL_DEF)
+    contract = _ORDER_SUCCESSFUL_DEF["parser"]["contract_address"]
+    ev = _t(spark, sf_dir, "events")
+    addr_word = lambda c: F.lpad(_hex_addr(c), 64, "0")  # noqa: E731
+    encoded = ev.select(
+        "event_id",
+        "ts",
+        # every 10th row fires from the WRONG contract; decode filters it
+        F.when(F.col("event_id") % 10 == 0, F.lit("0x" + "d" * 40))
+        .otherwise(F.lit(contract))
+        .alias("user_id"),
+        # data tuple = non-indexed inputs in declaration order:
+        # (id bytes32, nftAddress address, totalPrice uint256)
+        F.when(F.col("event_type") == "error", F.lit("zz"))
+        .otherwise(
+            F.concat(
+                _hex_word(F.col("event_id") + 11),
+                addr_word(F.col("user_id") + 2),
+                _hex_word(F.col("event_id") * 1000 + 7),
+            )
+        )
+        .alias("data"),
+        # topics = [topic0, assetId, seller, buyer] (indexed order)
+        F.array(
+            F.lit(spec.parser.selector),
+            _hex_word(F.col("event_id")),
+            addr_word(F.col("user_id")),
+            addr_word(F.col("user_id") + 1),
+        ).alias("topics"),
+    )
+    return compile_spec(spec, encoded).select(
+        "event_id", "id", "assetId", "seller", "nftAddress", "totalPrice", "buyer"
+    )
+
+
 @register(
     "parse_spec_nested_tuple",
     oracle="""
@@ -1832,8 +1932,82 @@ from ethereum_etl_airflow_spark.functions import linclf as _linclf  # noqa: E402
 from ethereum_etl_airflow_spark.functions import tpchstar as _tpchstar  # noqa: E402,F401
 
 
+#: The driver records official CORRECTNESS rows for the FIRST 50
+#: get_queries() entries only, in insertion order — so the window must
+#: hold >= 1 representative of EVERY operator family (flagship first).
+#: Everything else follows in registration order; names listed here
+#: but not registered are skipped.
+WINDOW_ORDER = [
+    # core SQL vocabulary (projections, joins, aggs, windows)
+    "balances_ledger",
+    "pricing_summary",
+    "enrich_three_way_join",
+    "full_outer_coalesce",
+    "semi_join_in_subquery",
+    "top_k_accounts",
+    "having_dense_sequence",
+    "dedup_first_by_key",
+    "array_ops_ordered",
+    "scalar_functions_bundle",
+    # ABI / table-definition parse surface
+    "parse_spec_log_decode",
+    "parse_spec_dynamic_array",
+    "parse_dataset_stitch",
+    "parse_reference_def_decode",
+    # CDC + snapshot-table lifecycle
+    "cdc_lww_fold",
+    "stitch_history_live",
+    "bucket_pruning_filter",
+    "seed_amend_overrides",
+    "cdc_stats_pruned_scan",
+    "cdc_delete_keys_lifecycle",
+    "cdc_schema_rename_lifecycle",
+    "cdc_native_stream_chain",
+    "secondary_index_postings",
+    "cdf_derived_follow",
+    # changelog / streaming semantics
+    "cdc_envelope_parse",
+    "cdc_changelog_images",
+    "cdc_scd2_history",
+    "cdc_safe_watermark",
+    "cdc_quarantine_split",
+    "sessionize_stream_closed",
+    # temporal joins, windows, skew, OLAP
+    "asof_join_last_order",
+    "range_join_banded",
+    "events_hopping_window",
+    "agg_salted_hotkeys",
+    "events_rollup_totals",
+    # incremental view maintenance
+    "vocab_rollup_incremental",
+    # dedup tiers (exact -> LSH -> incremental -> simhash -> embedding)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "simhash_near_dup_pairs",
+    "dedup_embedding_cosine_lsh",
+    # similarity / multimodal / text / retrieval
+    "ann_ivf_probed",
+    "multimodal_decode_stats",
+    "text_quality_score",
+    "bm25_search_topk",
+    # corpus assembly, BPE, sketches, graph, TPC-H decorrelation
+    "corpus_pack_sequences",
+    "bpe_learn_merges",
+    "sketch_cms_heavy_hitters",
+    "pagerank_iteration",
+    "suppliers_sole_late",
+]
+
+
+def _ordered_names() -> list[str]:
+    head = [n for n in WINDOW_ORDER if n in REGISTRY]
+    seen = set(head)
+    return head + [n for n in REGISTRY if n not in seen]
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+    return {n: REGISTRY[n].spark_fn for n in _ordered_names()}
 
 
 def get_oracles() -> dict[str, str]:
@@ -1843,7 +2017,11 @@ def get_oracles() -> dict[str, str]:
     # importing (a Spark worker can import a registration module first,
     # making the registry transiently incomplete mid-import-cycle)
     return {
-        name: (spec.oracle() if callable(spec.oracle) else spec.oracle)
-        for name, spec in REGISTRY.items()
-        if spec.oracle
+        n: (
+            REGISTRY[n].oracle()
+            if callable(REGISTRY[n].oracle)
+            else REGISTRY[n].oracle
+        )
+        for n in _ordered_names()
+        if REGISTRY[n].oracle
     }
