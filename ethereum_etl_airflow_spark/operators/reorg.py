@@ -73,6 +73,14 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
 
     base = table.snapshot(base_v)
     head = table.snapshot(head_v)
+    # bump the app's STREAM GENERATION in the same atomic commit: the
+    # file-source checkpoint of run_stream remembers seen paths, so
+    # corrected batch dirs that reuse orphaned paths would be silently
+    # skipped — the generation counter makes run_stream rotate to a
+    # fresh checkpoint subdir + fence namespace automatically (the LWW
+    # fold keeps the forced re-read idempotent)
+    gen_key = f"stream_gen:{app_id}"
+    gen_bump = {gen_key: int(head["properties"].get(gen_key, 0)) + 1}
     if base.get("num_buckets") != head.get("num_buckets"):
         # a rebucket happened above the base: bucket ids are
         # layout-relative, so revert every bucket (full replace)
@@ -90,6 +98,7 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
             replace_buckets=set(),
             app_id=app_id,
             epoch=epoch,
+            properties=gen_bump,
             lineage={"op": "reorg_rewind", "base_version": base_v, "buckets": 0},
         )
         return {"base_version": base_v, "buckets_reverted": 0, "version": snap["version"]}
@@ -106,6 +115,7 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
         replace_buckets=affected,
         app_id=app_id,
         epoch=epoch,
+        properties=gen_bump,
         lineage={
             "op": "reorg_rewind",
             "base_version": base_v,

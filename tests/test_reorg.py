@@ -183,3 +183,44 @@ def test_rewind_across_schema_evolution_boundary(spark, tmp_path):
     assert canon_state(table.read()) == canon_state(
         lww_expected_state(spark, evo, evo.n_batches - 1)
     )
+
+
+def test_stream_resume_after_rewind_rotates_checkpoint(spark, tmp_path):
+    """The r3 caveat, closed: after a rewind, corrected batch dirs that
+    REUSE orphaned paths must be re-read by run_stream with the SAME
+    checkpoint dir — the rewind commit bumps stream_gen, run_stream
+    rotates to a fresh generation subdir + fence namespace, and the LWW
+    fold keeps the forced re-read idempotent."""
+    import os
+
+    from ethereum_etl_airflow_spark.sources.feed import write_feed
+    from ethereum_etl_airflow_spark.streaming.tailer import ChangeLogTailer
+
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ck")
+    write_feed(spark, FORK, feed)
+    tailer = ChangeLogTailer(spark, feed, str(tmp_path / "t"), app_id="rg", num_buckets=8)
+    tailer.replay_batches()
+    # switch to follow mode: the gen-0 stream checkpoint marks every
+    # current batch path as SEEN (state unchanged — LWW no-op)
+    tailer.run_stream(ckpt)
+    assert os.path.isdir(os.path.join(ckpt, "gen-0"))
+    fork_all = generate_batch(spark, FORK, 0)
+    for b in range(1, FORK.n_batches):
+        fork_all = fork_all.unionByName(generate_batch(spark, FORK, b))
+    assert canon_state(tailer.table.read()) == canon_state(_fold(fork_all))
+
+    # reorg at height 1: corrected canonical batches land at the SAME
+    # paths the orphaned fork batches used
+    write_feed(spark, CANON, feed, batches=range(2, CANON.n_batches))
+    assert tailer.rewind(1) is not None
+
+    # resume with the SAME checkpoint dir — no manual surgery
+    tailer.run_stream(ckpt)
+    assert os.path.isdir(os.path.join(ckpt, "gen-1"))
+    assert canon_state(tailer.table.read()) == canon_state(_mixed_expected(spark, 1))
+
+    # a further resume of the new generation is a clean no-op
+    v = tailer.table.current_version()
+    tailer.run_stream(ckpt)
+    assert canon_state(tailer.table.read()) == canon_state(_mixed_expected(spark, 1))
+    assert tailer.table.current_version() == v
