@@ -71,6 +71,117 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
             "rewind base expired — re-bootstrap required"
         )
 
+    return _revert_to_base(table, app_id, base_v, head_v, epoch)
+
+
+def rewind_to_seq(table: SnapshotTable, app_id: str, seq: int) -> dict | None:
+    """Chain-height rewind: roll back every applied change event with
+    ``seq`` above the given chain position — the STREAM-MODE reorg
+    entry point. ``rewind_to_epoch`` addresses feed-batch epochs (the
+    replay unit); a stream's epochs are Spark checkpoint batchIds that
+    do not map to chain heights, but every CDC commit's manifest
+    records its added files' footer ``_seq`` ranges (the per-file skip
+    index doubling as source-offset lineage), and feed batches are
+    seq-ordered, so the invalid commits form a suffix of the cdc_apply
+    chain. The base is the parent of the LOWEST invalid commit; all of
+    the app's epoch fences (replay + every stream namespace) restore to
+    their base values in the same atomic commit, and the stream
+    generation bumps so ``run_stream`` rotates its checkpoint.
+
+    Returns None when no applied event exceeds ``seq``; raises
+    ``ValueError`` when the base snapshot has been expired."""
+    head_v = table.current_version()
+    if head_v < 0:
+        return None
+    lowest_bad = None
+    v = head_v
+    while v >= 0:
+        try:
+            snap = table.snapshot(v)
+        except FileNotFoundError:
+            break  # older snapshots expired
+        lin = snap.get("lineage") or {}
+        if lin.get("op") == "cdc_apply":
+            max_seq = _commit_max_seq(table, snap)
+            if max_seq is not None and int(max_seq) > seq:
+                lowest_bad = v
+            elif max_seq is not None:
+                # feed batches are seq-ordered: the first valid cdc
+                # commit bounds the walk — everything below it is valid
+                break
+        v = int(snap.get("parent_version", -1))
+    if lowest_bad is None:
+        return None
+    base_v = int(table.snapshot(lowest_bad)["parent_version"])
+    if base_v >= 0:
+        try:
+            table.snapshot(base_v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"rewind base v{base_v} (below seq {seq}) expired — "
+                "re-bootstrap required"
+            ) from None
+    else:
+        raise ValueError(
+            f"every retained commit holds events above seq {seq} — "
+            "re-bootstrap required"
+        )
+    base_props = table.snapshot(base_v)["properties"]
+    head_props = table.snapshot(head_v)["properties"]
+    # restore EVERY fence namespace of this app (replay key is handled
+    # by the commit's epoch argument; stream generations restore here —
+    # keys the base never saw drop to -1)
+    prefix = f"last_epoch:{app_id}:"
+    fences = {
+        k: int(base_props.get(k, -1))
+        for k in head_props
+        if k.startswith(prefix)
+    }
+    epoch = int(base_props.get(f"last_epoch:{app_id}", -1))
+    info = _revert_to_base(
+        table, app_id, base_v, head_v, epoch, extra_props=fences, seq=seq
+    )
+    info["restored_epoch"] = epoch
+    return info
+
+
+def _commit_max_seq(table: SnapshotTable, snap: dict) -> int | None:
+    """Highest ``_seq`` a CDC commit applied, from the manifest alone:
+    max over the commit's own added files' footer seq ranges
+    (``file_seq_ranges``, recorded at commit time). A compacting commit
+    folds older rows into its new files, but seqs are monotone across
+    batches so the max is still the batch's max. Legacy manifests
+    without ``added_files`` diff against the retained parent; None =
+    no data added (property-only commit) or no range evidence."""
+    ranges = snap.get("file_seq_ranges") or {}
+    added = snap.get("added_files")
+    if added is None:
+        try:
+            parent = table.snapshot(int(snap.get("parent_version", -1)))
+            prev = {f for fs in parent["bucket_files"].values() for f in fs}
+        except (FileNotFoundError, KeyError):
+            prev = set()
+        added = {
+            b: [f for f in fs if f not in prev]
+            for b, fs in snap["bucket_files"].items()
+        }
+    maxes = [
+        int(ranges[f][1]) for fs in added.values() for f in fs if f in ranges
+    ]
+    return max(maxes, default=None)
+
+
+def _revert_to_base(
+    table: SnapshotTable,
+    app_id: str,
+    base_v: int,
+    head_v: int,
+    epoch: int,
+    extra_props: dict | None = None,
+    seq: int | None = None,
+) -> dict:
+    """Shared rewind tail: restore the affected buckets' base-version
+    file contents and move the app's fence back, in ONE atomic commit."""
     base = table.snapshot(base_v)
     head = table.snapshot(head_v)
     # bump the app's STREAM GENERATION in the same atomic commit: the
@@ -80,7 +191,14 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
     # fresh checkpoint subdir + fence namespace automatically (the LWW
     # fold keeps the forced re-read idempotent)
     gen_key = f"stream_gen:{app_id}"
-    gen_bump = {gen_key: int(head["properties"].get(gen_key, 0)) + 1}
+    props = {gen_key: int(head["properties"].get(gen_key, 0)) + 1}
+    props.update(extra_props or {})
+    lineage_base = {
+        "op": "reorg_rewind",
+        "base_version": base_v,
+        "head_version": head_v,
+        **({"rewind_seq": seq} if seq is not None else {}),
+    }
     if base.get("num_buckets") != head.get("num_buckets"):
         # a rebucket happened above the base: bucket ids are
         # layout-relative, so revert every bucket (full replace)
@@ -98,8 +216,8 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
             replace_buckets=set(),
             app_id=app_id,
             epoch=epoch,
-            properties=gen_bump,
-            lineage={"op": "reorg_rewind", "base_version": base_v, "buckets": 0},
+            properties=props,
+            lineage={**lineage_base, "buckets": 0},
         )
         return {"base_version": base_v, "buckets_reverted": 0, "version": snap["version"]}
 
@@ -115,13 +233,8 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
         replace_buckets=affected,
         app_id=app_id,
         epoch=epoch,
-        properties=gen_bump,
-        lineage={
-            "op": "reorg_rewind",
-            "base_version": base_v,
-            "head_version": head_v,
-            "buckets": len(affected),
-        },
+        properties=props,
+        lineage={**lineage_base, "buckets": len(affected)},
     )
     return {
         "base_version": base_v,

@@ -379,6 +379,29 @@ class ChangeLogTailer:
             self._record_lineage(lineage)
         return info
 
+    def rewind_to_seq(self, seq: int) -> dict | None:
+        """Chain-height reorg recovery for STREAM-MODE ingest, where
+        Spark's checkpoint batchIds don't map to chain heights: rolls
+        back every applied event with ``seq`` above the given position
+        using the per-commit ``offset_range`` lineage, restores every
+        fence namespace of this app, and bumps the stream generation so
+        the next ``run_stream`` re-reads corrected batch dirs
+        automatically (operators/reorg.rewind_to_seq)."""
+        from ethereum_etl_airflow_spark.operators.reorg import rewind_to_seq
+
+        info = rewind_to_seq(self.table, self.app_id, seq)
+        if info is not None:
+            lineage = {
+                "app_id": self.app_id,
+                "seq": seq,
+                "epoch": info["restored_epoch"],
+                "op": "reorg_rewind",
+                **info,
+            }
+            self._refresh_derived(lineage)
+            self._record_lineage(lineage)
+        return info
+
     def replay_batches(self, start: int = 0, end: int | None = None) -> list[dict]:
         """Apply feed batches in order; fenced epochs are skipped, so a
         resumed/replayed run converges to the same final state."""

@@ -43,7 +43,7 @@ def main() -> int:
     ap.add_argument("--checkpoint", default=None, help="required for --mode stream")
     ap.add_argument(
         "--mode",
-        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup", "rewind", "delete-where"],
+        choices=["replay", "stream", "compact", "expire-snapshots", "expire-tombstones", "rollup", "rewind", "rewind-seq", "delete-where"],
         default="replay",
         help="ingest modes (replay/stream) or maintenance ops on the table",
     )
@@ -55,6 +55,13 @@ def main() -> int:
         help="chain-reorg recovery for --mode rewind: roll the table "
         "back to this batch epoch and reset the fence; then replace "
         "the orphaned feed batch dirs and re-run --mode replay",
+    )
+    ap.add_argument(
+        "--rewind-seq", type=int, default=None,
+        help="chain-reorg recovery for --mode rewind-seq (stream-mode "
+        "ingest, where epochs are Spark batchIds): roll back every "
+        "applied event above this chain position; the stream generation "
+        "bumps so the next --mode stream re-reads corrected dirs",
     )
     ap.add_argument("--delete-col", default=None, help="delete-where predicate column")
     ap.add_argument("--delete-lo", type=float, default=None)
@@ -122,6 +129,14 @@ def main() -> int:
             ap.error("--rewind-epoch is required for rewind")
         info = tailer.rewind(args.rewind_epoch)
         print(json.dumps({"op": "rewind", "result": info}))
+        spark.stop()
+        return 0
+
+    if args.mode == "rewind-seq":
+        if args.rewind_seq is None:
+            ap.error("--rewind-seq is required for rewind-seq")
+        info = tailer.rewind_to_seq(args.rewind_seq)
+        print(json.dumps({"op": "rewind_seq", "result": info}))
         spark.stop()
         return 0
 

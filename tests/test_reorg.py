@@ -224,3 +224,43 @@ def test_stream_resume_after_rewind_rotates_checkpoint(spark, tmp_path):
     tailer.run_stream(ckpt)
     assert canon_state(tailer.table.read()) == canon_state(_mixed_expected(spark, 1))
     assert tailer.table.current_version() == v
+
+
+def test_rewind_to_seq_stream_only_ingest(spark, tmp_path):
+    """Pure stream-mode reorg: no replay fences exist (epochs are Spark
+    batchIds), so the rewind targets a CHAIN HEIGHT via the per-commit
+    offset_range lineage. Corrected dirs land at reused paths; resume
+    with the same checkpoint dir converges via generation rotation."""
+    from ethereum_etl_airflow_spark.sources.feed import write_feed
+    from ethereum_etl_airflow_spark.streaming.tailer import ChangeLogTailer
+
+    feed, ckpt = str(tmp_path / "feed"), str(tmp_path / "ck")
+    write_feed(spark, FORK, feed, batches=range(0, 2))
+    tailer = ChangeLogTailer(spark, feed, str(tmp_path / "t"), app_id="rg", num_buckets=8)
+    tailer.run_stream(ckpt)
+    S = generate_batch(spark, FORK, 1).agg(F.max("seq")).first()[0]
+    # stream-mode only: the replay fence never advanced
+    assert tailer.table.last_epoch("rg") == -1
+
+    write_feed(spark, FORK, feed, batches=range(2, FORK.n_batches))
+    tailer.run_stream(ckpt)
+    fork_all = generate_batch(spark, FORK, 0)
+    for b in range(1, FORK.n_batches):
+        fork_all = fork_all.unionByName(generate_batch(spark, FORK, b))
+    assert canon_state(tailer.table.read()) == canon_state(_fold(fork_all))
+
+    # reorg: every event above height S is orphaned; corrected batches
+    # REUSE the orphaned dirs' paths
+    write_feed(spark, CANON, feed, batches=range(2, CANON.n_batches))
+    info = tailer.rewind_to_seq(S)
+    assert info is not None
+    fork01 = generate_batch(spark, FORK, 0).unionByName(
+        generate_batch(spark, FORK, 1)
+    )
+    assert canon_state(tailer.table.read()) == canon_state(_fold(fork01))
+
+    # same checkpoint dir, no surgery: the bumped generation re-reads
+    tailer.run_stream(ckpt)
+    assert canon_state(tailer.table.read()) == canon_state(_mixed_expected(spark, 1))
+    # nothing above the canonical head -> rewind is a no-op
+    assert tailer.rewind_to_seq(10**12) is None
