@@ -1132,6 +1132,94 @@ def parse_reference_def_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: an ACTUAL reference CALL-trace definition, verbatim shape
+#: (table_definitions/aave/GhoToken_call_addFacilitator.json):
+#: trace parser + abi.inputs with a dynamic string — the 4-byte
+#: selector path (function_abi_to_4byte_selector analogue).
+_ADD_FACILITATOR_DEF = {
+    "parser": {
+        "abi": {
+            "inputs": [
+                {"name": "facilitatorAddress", "type": "address"},
+                {"name": "facilitatorLabel", "type": "string"},
+                {"name": "bucketCapacity", "type": "uint128"},
+            ],
+            "name": "addFacilitator",
+            "type": "function",
+        },
+        "contract_address": "0x40d16fc0246ad3160ccc09b8d0d3a2cd28ae6c2f",
+        "field_mapping": {},
+        "type": "trace",
+    },
+    "table": {
+        "dataset_name": "aave",
+        "schema": [
+            {"description": "", "name": "facilitatorAddress", "type": "STRING"},
+            {"description": "", "name": "facilitatorLabel", "type": "STRING"},
+            {"description": "", "name": "bucketCapacity", "type": "STRING"},
+        ],
+        "table_description": "",
+        "table_name": "GhoToken_call_addFacilitator",
+    },
+}
+
+
+@register(
+    "parse_reference_call_decode",
+    oracle="""
+    SELECT event_id,
+           '0x' || substr(md5(CAST(user_id AS VARCHAR)) || md5(CAST(user_id AS VARCHAR)), 1, 40) AS "facilitatorAddress",
+           'facil-' || CAST(event_id AS VARCHAR) AS "facilitatorLabel",
+           CAST(event_id * 5 + 1 AS VARCHAR) AS "bucketCapacity"
+    FROM events
+    WHERE event_id % 7 <> 0 AND event_type <> 'error'
+    """,
+    doc="an ACTUAL reference CALL-trace definition decoded end-to-end: "
+    "fields derived from parser.abi.inputs, 4-byte selector keccak-"
+    "derived and stripped from the call data, dynamic-string argument "
+    "through the head/tail offset scheme, uint128 via the bigint path, "
+    "STRING coercion per table.schema; corrupt payloads dropped",
+    survey_ref="table_definition_reader.py:14-40; parse_traces_udf shape; "
+    "table_definitions/aave/GhoToken_call_addFacilitator.json",
+)
+def parse_reference_call_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    spec = parse_spec(_ADD_FACILITATOR_DEF)
+    contract = _ADD_FACILITATOR_DEF["parser"]["contract_address"]
+    ev = _t(spark, sf_dir, "events")
+    label = F.concat(F.lit("facil-"), F.col("event_id").cast("string"))
+    enc_label = F.concat(
+        _hex_word(F.length(label).cast("long")),
+        F.rpad(F.lower(F.hex(label)), 64, "0"),
+    )
+    encoded = ev.select(
+        "event_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit("0x" + "c" * 40))
+        .otherwise(F.lit(contract))
+        .alias("user_id"),
+        # call data = 4-byte selector + (address, string offset, uint128)
+        # head + string tail (len word + utf8 right-padded to a word)
+        F.when(F.col("event_type") == "error", F.lit("zz"))
+        .otherwise(
+            F.concat(
+                F.lit(spec.parser.selector),
+                F.lpad(_hex_addr(F.col("user_id")), 64, "0"),
+                _hex_word(F.lit(3 * 32)),
+                _hex_word(F.col("event_id") * 5 + 1),
+                enc_label,
+            )
+        )
+        .alias("data"),
+        F.array(F.lit("")).alias("topics"),
+    )
+    return compile_spec(spec, encoded).select(
+        "event_id", "facilitatorAddress", "facilitatorLabel", "bucketCapacity"
+    )
+
+
 @register(
     "parse_spec_nested_tuple",
     oracle="""
