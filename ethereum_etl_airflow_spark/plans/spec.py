@@ -177,9 +177,12 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
     if p.get("type") not in ("log", "trace"):
         raise SpecValidationError(f"parser.type must be log|trace, got {p.get('type')}")
     raw_fields = p.get("fields")
-    if raw_fields is None and (p.get("abi") or {}).get("inputs"):
+    abi = p.get("abi") or {}
+    if raw_fields is None and abi.get("name") and "inputs" in abi:
         # a real reference def: no parser.fields, no encoding key —
-        # the ABI *is* the field list, and the decode is the hex path
+        # the ABI *is* the field list (possibly empty: zero-argument
+        # events like Paused() still need their derived selector), and
+        # the decode is the hex path
         raw_fields = _fields_from_abi(p, t)
         encoding = p.get("encoding", "hex")
     else:

@@ -231,3 +231,112 @@ def test_decode_call_trace_with_dynamic_string(spark):
     assert r["facilitatorLabel"] == "facil-7"
     assert r["bucketCapacity"] == "35"
     assert r["facilitatorAddress"].startswith("0x")
+
+
+# ------------------------------------------------- corpus-wide loading
+
+
+def test_entire_reference_corpus_loads():
+    """EVERY shipped table definition — 7,062 JSON parse specs + 19 SQL
+    views — loads through the engine's reader. This is the
+    migration-surface claim: a reference user's whole def corpus is
+    consumable as-is."""
+    import glob
+
+    from ethereum_etl_airflow_spark.plans.defs import load_definition
+    from ethereum_etl_airflow_spark.plans.spec import ExtractionSpec, SqlViewSpec
+
+    files = sorted(glob.glob(os.path.join(DEFS, "**", "*.json"), recursive=True))
+    files += sorted(glob.glob(os.path.join(DEFS, "**", "*.sql"), recursive=True))
+    assert len(files) > 7000
+    n_spec = n_view = 0
+    for f in files:
+        s = load_definition(f)  # raises on any failure
+        if isinstance(s, ExtractionSpec):
+            n_spec += 1
+            assert s.parser.selector.startswith("0x")
+        else:
+            assert isinstance(s, SqlViewSpec)
+            n_view += 1
+    assert n_spec >= 7000 and n_view >= 19
+
+
+def test_load_dataset_folder_toposorts_refs():
+    """A real dataset folder with cross-spec ref() edges loads into the
+    planner's spec dict (dotted keys, bare in-dataset refs qualified)
+    and toposorts dependencies first."""
+    from ethereum_etl_airflow_spark.plans.defs import load_dataset_folder
+    from ethereum_etl_airflow_spark.plans.planner import toposort
+
+    specs = load_dataset_folder(os.path.join(DEFS, "aera"))
+    assert len(specs) > 10
+    assert all(n.startswith("aera.") for n in specs)
+    order = toposort(specs)
+    assert len(order) == len(specs)
+    pos = {n: i for i, n in enumerate(order)}
+    for name, spec in specs.items():
+        for ref in spec.refs:
+            assert pos[ref] < pos[name]  # dependency ordered first
+    # the folder contains at least one real ref edge (AssetAdded ->
+    # the registry-factory spec), so the assertion above is non-vacuous
+    assert any(spec.refs for spec in specs.values())
+
+
+def test_whole_dataset_folder_through_executor(spark, tmp_path):
+    """Migrate an ENTIRE real dataset folder: load_dataset_folder ->
+    ParseDatasetExecutor.run over a synthetic feed carrying matching
+    OrderSuccessful logs — the spec with traffic materializes decoded
+    rows, the sibling spec materializes empty, both tables exist."""
+    from ethereum_etl_airflow_spark.plans.defs import load_dataset_folder
+    from ethereum_etl_airflow_spark.plans.executor import ParseDatasetExecutor
+
+    specs = load_dataset_folder(os.path.join(DEFS, "decentraland"))
+    target = "decentraland.Marketplace_event_OrderSuccessful"
+    assert set(specs) == {target, "decentraland.Marketplace_event_AuctionSuccessful"}
+    spec = specs[target]
+    contract = spec.parser.contract_address
+    n = 40
+    source = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(0).alias("ts"),
+        F.lit(contract).alias("user_id"),
+        F.concat(
+            _word(F.col("id") + 11),
+            F.lpad(_addr40(F.col("id") + 2), 64, "0"),
+            _word(F.col("id") * 1000 + 7),
+        ).alias("data"),
+        F.array(
+            F.lit(spec.parser.selector),
+            _word(F.col("id")),
+            F.lpad(_addr40(F.col("id")), 64, "0"),
+            F.lpad(_addr40(F.col("id") + 1), 64, "0"),
+        ).alias("topics"),
+    )
+    ex = ParseDatasetExecutor(spark, str(tmp_path / "ds"), specs)
+    report = ex.run(source, upto_pos=n)
+    assert report[target] == "full_refresh"
+    rows = {int(r["event_id"]): r for r in ex.read(target).collect()}
+    assert len(rows) == n
+    assert rows[13]["assetId"] == "13" and rows[13]["totalPrice"] == "13007"
+    # the sibling spec (different topic0) materialized an empty table
+    assert ex.read("decentraland.Marketplace_event_AuctionSuccessful").count() == 0
+    # replays are fenced
+    assert ex.run(source, upto_pos=n)[target] == "fenced"
+
+
+def test_load_dataset_folder_with_sql_views():
+    from ethereum_etl_airflow_spark.plans.defs import load_dataset_folder
+    from ethereum_etl_airflow_spark.plans.spec import SqlViewSpec
+
+    specs = load_dataset_folder(
+        os.path.join(DEFS, "uniswap"), allow_external_refs=True
+    )
+    views = [s for s in specs.values() if isinstance(s, SqlViewSpec)]
+    assert views and all(v.sql.strip() for v in views)
+
+
+def test_zero_argument_event_def_parses():
+    spec = parse_spec(_load("aave/LendingPool_v2_event_Paused.json"))
+    assert spec.parser.fields == ()
+    assert spec.parser.encoding == "hex"
+    assert len(spec.parser.selector) == 66  # keccak('Paused()')
