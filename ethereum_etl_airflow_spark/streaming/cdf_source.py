@@ -102,10 +102,27 @@ class SnapshotCdfStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         out: list[_FilePartition] = []
         schema_json = json.dumps(self.schema.jsonValue())
-        for v in range(start["version"] + 1, end["version"] + 1):
+        # walk END's parent chain down to START rather than the numeric
+        # version range: version numbers are allocated globally across
+        # refs, so an abandoned WAP/audit branch's staged commits can sit
+        # inside (start, end] numerically without ever being part of
+        # main's history — the ancestry walk emits exactly the commits
+        # the stream's ref actually advanced through (promoted WAP
+        # commits are ancestors after fast_forward, so they ARE walked).
+        chain: list[tuple[int, dict]] = []
+        v = end["version"]
+        while v > start["version"] and v >= 0:
             snap = _read_manifest(self.root, v)
             if snap is None:
-                continue
+                raise RuntimeError(
+                    f"cdf range ({start['version']}, {end['version']}] "
+                    f"needs expired snapshot v{v} — the range is no "
+                    "longer replayable; restart from a retained "
+                    "starting_version or bootstrap from the table state"
+                )
+            chain.append((v, snap))
+            v = int(snap.get("parent_version", v - 1))
+        for v, snap in reversed(chain):
             lin = snap.get("lineage") or {}
             if lin.get("op") != "cdc_apply":
                 continue  # maintenance rewrite — no new logical changes
