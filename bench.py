@@ -366,11 +366,18 @@ def _read_best_gated() -> dict | None:
         return None
 
 
+#: a scaling attempt counts as HOST-VERIFIED when the in-JVM pure-CPU
+#: probe sped up at least this much between the two pinned levels —
+#: 3.0 on the default 4x core ratio (the judge's bar), scaled down
+#: proportionally if the LO/HI pair is configured narrower
+PROBE_BAR = min(3.0, 0.75 * (SCALE_HI / SCALE_LO))
+
+
 def _persist_best_gated(attempts: list[dict]) -> None:
     best = _read_best_gated()
     for a in attempts:
         eff, probe = a.get("efficiency"), a.get("cpu_probe_speedup")
-        if not eff or not probe or probe < 3.0:
+        if not eff or not probe or probe < PROBE_BAR:
             continue  # host didn't verifiably deliver its cores
         if best is None or eff > best.get("efficiency", -1.0):
             best = {

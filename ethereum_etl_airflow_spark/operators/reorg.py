@@ -57,7 +57,8 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
 
     key = f"last_epoch:{app_id}"
     base_v = None
-    for v in range(head_v, -1, -1):
+    v = head_v
+    while v >= 0:  # ancestry walk (branch versions share the number space)
         try:
             snap = table.snapshot(v)
         except FileNotFoundError:
@@ -65,6 +66,7 @@ def rewind_to_epoch(table: SnapshotTable, app_id: str, epoch: int) -> dict | Non
         if int(snap["properties"].get(key, -1)) <= epoch:
             base_v = v
             break
+        v = int(snap.get("parent_version", -1))
     if base_v is None:
         raise ValueError(
             f"no retained snapshot at or before epoch {epoch} for {app_id!r}; "
@@ -156,11 +158,23 @@ def _commit_max_seq(table: SnapshotTable, snap: dict) -> int | None:
     ranges = snap.get("file_seq_ranges") or {}
     added = snap.get("added_files")
     if added is None:
-        try:
-            parent = table.snapshot(int(snap.get("parent_version", -1)))
+        parent_v = int(snap.get("parent_version", -1))
+        if parent_v < 0:
+            prev: set[str] = set()
+        else:
+            try:
+                parent = table.snapshot(parent_v)
+            except FileNotFoundError:
+                # diffing against nothing would credit EVERY live file
+                # to this commit and misclassify it as invalid — fail
+                # honestly instead (mirrors cdf_source's expired-parent
+                # contract)
+                raise ValueError(
+                    f"commit v{snap['version']} predates added_files and "
+                    f"its parent v{parent_v} is expired — cannot bound "
+                    "its seq range; use rewind_to_epoch"
+                ) from None
             prev = {f for fs in parent["bucket_files"].values() for f in fs}
-        except (FileNotFoundError, KeyError):
-            prev = set()
         added = {
             b: [f for f in fs if f not in prev]
             for b, fs in snap["bucket_files"].items()
@@ -204,9 +218,17 @@ def _revert_to_base(
         # layout-relative, so revert every bucket (full replace)
         affected = set(range(head["num_buckets"]))
     else:
+        # ancestry walk, not the numeric version range: versions are
+        # allocated globally across refs, so abandoned-branch commits
+        # can sit inside (base_v, head_v] numerically — they were never
+        # applied to this chain and must not widen (or, if expired,
+        # crash) the revert
         affected: set[int] = set()
-        for v in range(base_v + 1, head_v + 1):
-            affected.update(table.snapshot(v).get("commit_buckets", []))
+        v = head_v
+        while v > base_v:
+            s = table.snapshot(v)
+            affected.update(s.get("commit_buckets", []))
+            v = int(s.get("parent_version", -1))
     if not affected:
         # later commits wrote no data (property-only) — just reset the fence
         empty = table.read_files(buckets=[])  # 0 rows, head schema

@@ -62,53 +62,66 @@ def load_dataset_folder(
     executor address specs by the qualified ``dataset.table`` form —
     so in-dataset refs are QUALIFIED during loading (a pure textual
     ``ref('X')`` -> ``ref('dataset.X')`` rewrite, mirroring the
-    reference's per-dataset ``validate_ref_dependencies`` scope)."""
+    reference's per-dataset ``validate_ref_dependencies`` scope).
+    Qualification always uses the TARGET def's own declared
+    ``table.dataset_name`` (folder basename only as fallback), so a
+    folder checked out under a different directory name still
+    self-resolves."""
     import json as _json
-    import re
 
-    paths = sorted(
-        glob.glob(os.path.join(folder, "*.json"))
-        + glob.glob(os.path.join(folder, "*.sql"))
-    )
+    from ethereum_etl_airflow_spark.plans.spec import REF_REGEX
+
+    json_paths = sorted(glob.glob(os.path.join(folder, "*.json")))
+    sql_paths = sorted(glob.glob(os.path.join(folder, "*.sql")))
+    paths = json_paths + sql_paths
     if not paths:
         raise SpecValidationError(f"no table definitions under {folder}")
     names = {os.path.splitext(os.path.basename(p))[0] for p in paths}
     if len(names) != len(paths):
         raise SpecValidationError(f"duplicate table names under {folder}")
-    ref_re = re.compile(r"ref\(\s*'([^']+)'\s*\)")
+
+    fallback_ds = os.path.basename(os.path.abspath(folder))
+    # pass 1: each table's dataset (its own declaration wins) — the
+    # qualification map every ref rewrite consults
+    docs: dict[str, dict] = {}
+    ds_of: dict[str, str] = {}
+    for path in json_paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        with open(path) as f:
+            docs[name] = _json.load(f)
+        ds_of[name] = (
+            docs[name].get("table", {}).get("dataset_name") or fallback_ds
+        )
+    # SQL views adopt the folder's dataset: the declared name of the
+    # JSON defs when they agree (the reference corpus always does),
+    # else the folder basename
+    declared = set(ds_of.values())
+    view_ds = declared.pop() if len(declared) == 1 else fallback_ds
+    for path in sql_paths:
+        ds_of[os.path.splitext(os.path.basename(path))[0]] = view_ds
+
+    def qualify(text: str) -> str:
+        return REF_REGEX.sub(
+            lambda m: (
+                f"ref('{ds_of[m.group(1)]}.{m.group(1)}')"
+                if m.group(1) in names
+                else m.group(0)
+            ),
+            text,
+        )
 
     specs: dict[str, ExtractionSpec | SqlViewSpec] = {}
     for path in paths:
         name = os.path.splitext(os.path.basename(path))[0]
-        with open(path) as f:
-            content = f.read()
         if path.endswith(".json"):
-            d = _json.loads(content)
-            ds = d.get("table", {}).get("dataset_name") or os.path.basename(
-                folder.rstrip("/")
-            )
+            d = docs[name]
             ca = (d.get("parser") or {}).get("contract_address")
             if ca:
-                d["parser"]["contract_address"] = ref_re.sub(
-                    lambda m: (
-                        f"ref('{ds}.{m.group(1)}')"
-                        if m.group(1) in names
-                        else m.group(0)
-                    ),
-                    ca,
-                )
+                d["parser"]["contract_address"] = qualify(ca)
             spec = parse_spec(d, expected_name=name)
         else:
-            ds = os.path.basename(folder.rstrip("/"))
-            sql = ref_re.sub(
-                lambda m: (
-                    f"ref('{ds}.{m.group(1)}')"
-                    if m.group(1) in names
-                    else m.group(0)
-                ),
-                content,
-            )
-            spec = SqlViewSpec(ds, name, sql)
+            with open(path) as f:
+                spec = SqlViewSpec(ds_of[name], name, qualify(f.read()))
         specs[spec.name] = spec
     if not allow_external_refs:
         for name, spec in specs.items():

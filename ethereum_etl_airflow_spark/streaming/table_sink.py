@@ -182,6 +182,19 @@ class SnapshotTableStreamWriter(DataSourceStreamArrowWriter):
         return SnapshotTable(None, self.root, num_buckets=self.num_buckets)
 
     def commit(self, messages, batchId: int) -> None:
+        # re-validate the fan-out against the CURRENT manifest: a
+        # rebucket landing mid-stream would otherwise let this batch's
+        # files (hashed with the old fan-out on executors) commit under
+        # wrong bucket ids and vanish from pruned reads — fail the
+        # batch loudly instead; a restarted stream re-resolves in
+        # __init__ and re-buckets correctly
+        current = _manifest_num_buckets(self.root)
+        if current is not None and current != self.num_buckets:
+            raise RuntimeError(
+                f"table {self.root} was rebucketed to {current} while the "
+                f"stream was writing {self.num_buckets}-bucket files — "
+                "restart the stream to adopt the new fan-out"
+            )
         table = self._table()
         merged: dict[str, list[str]] = {}
         rows = 0

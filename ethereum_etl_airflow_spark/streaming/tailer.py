@@ -492,10 +492,16 @@ class ChangeLogTailer:
         gen = int(
             self.table.snapshot()["properties"].get(f"stream_gen:{self.app_id}", 0)
         )
-        checkpoint_dir = os.path.join(checkpoint_dir, f"gen-{gen}")
-        stream_app = (
-            f"{self.app_id}:stream" if gen == 0 else f"{self.app_id}:stream:g{gen}"
-        )
+        if gen:
+            checkpoint_dir = os.path.join(checkpoint_dir, f"gen-{gen}")
+            stream_app = f"{self.app_id}:stream:g{gen}"
+        else:
+            # generation 0 keeps the caller's dir and fence namespace
+            # verbatim: checkpoints (and their high batchIds) from
+            # before generations existed stay valid — relocating them
+            # would fence genuinely new batches behind the old batchId
+            # high-water mark and silently drop them
+            stream_app = f"{self.app_id}:stream"
 
         def _apply(batch_df, epoch_id: int):
             if self.transform is not None:

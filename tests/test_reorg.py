@@ -203,7 +203,10 @@ def test_stream_resume_after_rewind_rotates_checkpoint(spark, tmp_path):
     # switch to follow mode: the gen-0 stream checkpoint marks every
     # current batch path as SEEN (state unchanged — LWW no-op)
     tailer.run_stream(ckpt)
-    assert os.path.isdir(os.path.join(ckpt, "gen-0"))
+    # generation 0 uses the caller's dir verbatim (pre-generation
+    # checkpoints stay valid); only post-rewind generations get subdirs
+    assert not os.path.isdir(os.path.join(ckpt, "gen-0"))
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
     fork_all = generate_batch(spark, FORK, 0)
     for b in range(1, FORK.n_batches):
         fork_all = fork_all.unionByName(generate_batch(spark, FORK, b))
