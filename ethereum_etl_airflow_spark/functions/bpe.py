@@ -85,7 +85,7 @@ def _bpe_oracle(n_merges: int) -> str:
         FROM sym{r})""")
     unions = "\n    UNION ALL\n".join(
         f"    SELECT {r + 1} AS merge_rank, pair, "
-        f"replace(pair, ' ', '') AS merged, c AS pair_count FROM best{r}"
+        f"replace(pair, ' ', '') AS merged, c::BIGINT AS pair_count FROM best{r}"
         for r in range(n_merges)
     )
     return f"WITH {','.join(stages)}\n{unions}"

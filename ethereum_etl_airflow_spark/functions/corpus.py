@@ -108,9 +108,9 @@ def global_prefix_sum(df: DataFrame, order_col: str, val_col: str, block_size: i
                                 ROWS UNBOUNDED PRECEDING) - n_tok AS start
         FROM d
     )
-    SELECT start // {PACK_MAX_LEN} AS seq_id,
+    SELECT (start // {PACK_MAX_LEN})::BIGINT AS seq_id,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
+           SUM(n_tok)::BIGINT AS n_tokens,
            MIN(doc_id) AS first_doc_id,
            MAX(doc_id) AS last_doc_id
     FROM o GROUP BY 1
@@ -273,7 +273,7 @@ def corpus_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_chars
         FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
     FROM s GROUP BY split
     """,
     doc="deterministic 80/10/10 train/val/test assignment by portable "
@@ -610,8 +610,8 @@ def _cap_case_col(n):
            CAST(shard AS INT) AS shard,
            CAST((rn - 1) // rows_per_batch AS INT) AS batch_id,
            COUNT(*) AS n_rows,
-           SUM(n_tok) AS sum_tok,
-           cap * COUNT(*) - SUM(n_tok) AS pad_tokens,
+           SUM(n_tok)::BIGINT AS sum_tok,
+           (cap * COUNT(*) - SUM(n_tok))::BIGINT AS pad_tokens,
            CAST(SUM(n_tok) AS DOUBLE) / (cap * COUNT(*)) AS fill_frac
     FROM r
     GROUP BY cap, shard, (rn - 1) // rows_per_batch

@@ -62,12 +62,15 @@ TOPK_PER_SOURCE = 5
     tot AS (
         SELECT SUM(count_a) AS total_a, SUM(count_b) AS total_b FROM counts
     )
-    SELECT term, count_a, count_b,
-           abs(CAST(count_a AS DECIMAL(38,0)) * total_b
-               - CAST(count_b AS DECIMAL(38,0)) * total_a) AS divergence
-    FROM counts, tot
-    ORDER BY divergence DESC, term
-    LIMIT {DRIFT_TOP_K}
+    SELECT term, count_a, count_b, divergence::DOUBLE AS divergence
+    FROM (
+        SELECT term, count_a, count_b,
+               abs(CAST(count_a AS DECIMAL(38,0)) * total_b
+                   - CAST(count_b AS DECIMAL(38,0)) * total_a) AS divergence
+        FROM counts, tot
+        ORDER BY divergence DESC, term
+        LIMIT {DRIFT_TOP_K}
+    )
     """,
     doc="most vocabulary-divergent terms between the 80/20 hash splits "
     "(exact integer cross-multiplied rate difference — no float ranks)",
@@ -108,6 +111,7 @@ def vocab_drift_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("divergence"), "term")
         .limit(DRIFT_TOP_K)
+        .withColumn("divergence", F.col("divergence").cast("double"))
     )
 
 

@@ -69,11 +69,11 @@ _STOPWORDS = ("the", "a", "of", "and", "to")
     SELECT source,
            COUNT(*) AS n_docs,
            SUM(CASE WHEN f_wordcount + f_wordlen + f_stopword + f_dupfrac = 0
-                    THEN 1 ELSE 0 END) AS n_pass,
-           SUM(f_wordcount) AS fail_wordcount,
-           SUM(f_wordlen) AS fail_wordlen,
-           SUM(f_stopword) AS fail_stopword,
-           SUM(f_dupfrac) AS fail_dupfrac
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           SUM(f_wordcount)::BIGINT AS fail_wordcount,
+           SUM(f_wordlen)::BIGINT AS fail_wordlen,
+           SUM(f_stopword)::BIGINT AS fail_stopword,
+           SUM(f_dupfrac)::BIGINT AS fail_dupfrac
     FROM r GROUP BY source
     """,
     doc="Gopher rule census per source: word-count bounds, "

@@ -117,8 +117,8 @@ BIN_TARGET = 200
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, d, file_rows,
-           (SUM(file_rows) OVER (PARTITION BY event_type ORDER BY d)
-              - file_rows) // {BIN_TARGET} AS bin_id
+           ((SUM(file_rows) OVER (PARTITION BY event_type ORDER BY d)
+              - file_rows) // {BIN_TARGET})::BIGINT AS bin_id
     FROM files
     """,
     doc="minor-compaction planner: per-series delta files (one per "

@@ -169,7 +169,8 @@ def exact_group_quantiles(
     )
     SELECT event_type, q, value
     FROM r
-    CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in QUANTILES)}]) AS q) qs
+    CROSS JOIN (SELECT CAST(unnest([{", ".join(str(q) for q in QUANTILES)}])
+                        AS DOUBLE) AS q) qs
     WHERE rn = GREATEST(CAST(CEIL(q * n) AS BIGINT), 1)
     """,
     doc="exact per-type value quantiles (p25/p50/p90/p99) via "
