@@ -182,6 +182,18 @@ def _commit_max_seq(table: SnapshotTable, snap: dict) -> int | None:
     maxes = [
         int(ranges[f][1]) for fs in added.values() for f in fs if f in ranges
     ]
+    n_added = sum(len(fs) for fs in added.values())
+    if n_added and not maxes:
+        # ADVICE r4: a cdc_apply commit that ADDED data files but has
+        # zero seq-range coverage (e.g. the commit-time footer-stats
+        # collection failed) must not be silently treated as valid —
+        # above-seq events inside it would survive the rewind. Raise so
+        # the operator falls back to rewind_to_epoch.
+        raise ValueError(
+            f"cdc_apply commit v{snap['version']} added {n_added} files "
+            "with no footer seq-range evidence — cannot bound its seq "
+            "range; use rewind_to_epoch"
+        )
     return max(maxes, default=None)
 
 
@@ -205,7 +217,17 @@ def _revert_to_base(
     # fresh checkpoint subdir + fence namespace automatically (the LWW
     # fold keeps the forced re-read idempotent)
     gen_key = f"stream_gen:{app_id}"
-    props = {gen_key: int(head["properties"].get(gen_key, 0)) + 1}
+    # ADVICE r4: only bump for apps that actually stream — a bump makes
+    # the next run_stream rotate to a fresh checkpoint and re-read the
+    # ENTIRE feed dir (O(full-feed) I/O; idempotent but expensive).
+    # Evidence of streaming: a stream fence namespace
+    # (last_epoch:<app>:stream[...]) or a prior generation counter.
+    streams = any(
+        k.startswith(f"last_epoch:{app_id}:stream") for k in head["properties"]
+    ) or gen_key in head["properties"]
+    props = (
+        {gen_key: int(head["properties"].get(gen_key, 0)) + 1} if streams else {}
+    )
     props.update(extra_props or {})
     lineage_base = {
         "op": "reorg_rewind",

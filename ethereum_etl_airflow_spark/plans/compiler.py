@@ -25,11 +25,76 @@ The feed's generic shape here is the testdata ``events`` table
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ethereum_etl_airflow_spark.plans.spec import REF_REGEX, ExtractionSpec
+
+#: quoted addresses inside the reference's inline
+#: ``SELECT * FROM UNNEST(['0x..', ...])`` contract_address form
+#: (259 of the 7,062 corpus defs; grammar pinned by the published
+#: JSON-Schema's fourth anyOf branch)
+_UNNEST_ADDR_RE = re.compile(r"'(0x[a-f0-9]{40})'")
+
+
+def _contract_literals(ca: str) -> list[str]:
+    """The literal address set of a non-ref contract_address: a bare
+    literal (or comma list), or the inline UNNEST address-list subquery
+    — the reference inlines either into ``address IN (...)``
+    (parse_logs.sql:28-31); the engine compiles the same set to a
+    pushed-down ``isin``."""
+    if "UNNEST" in ca:
+        return _UNNEST_ADDR_RE.findall(ca)
+    return [v.strip() for v in ca.split(",")]
+
+
+#: bare engine-native ref form — semi-join on the upstream's address
+#: column directly, no SQL round-trip
+_BARE_REF_RE = re.compile(r"^\s*ref\(\s*'[^']+'\s*\)\s*$")
+
+
+def _ref_view_name(spec_name: str) -> str:
+    return "__contract_ref_" + re.sub(r"\W", "_", spec_name)
+
+
+def _apply_contract_filter(out: DataFrame, ca, resolve_ref, spec_name: str):
+    """P6/J7: the contract-address gate, all four corpus forms.
+
+    The reference inlines ``contract_address`` into the parse view as
+    ``address IN (<subquery-or-literals>)`` (parse_logs.sql:18-31).
+    Engine equivalents, by form (census of all 7,062 corpus defs):
+
+    * literal / comma list / UNNEST list (5,590 + 259 defs) — pushed
+      ``isin`` on the emitting address;
+    * ``ref('X')``-bearing SQL (1,188 defs — ``SELECT col FROM
+      ref('X')``, DISTINCT / WHERE / UNION ALL / EXCEPT compositions)
+      — the subquery is compiled by Spark SQL itself with every
+      ``ref('X')`` bound to a temp view of the resolved upstream
+      output, then applied as a left-semi join on its single output
+      column (Catalyst broadcasts the small address side);
+    * bare ``ref('X')`` (engine-native shorthand) — semi-join on the
+      upstream's ``user_id``.
+    """
+    if not ca:
+        return out
+    refs = REF_REGEX.findall(ca)
+    if refs:
+        if resolve_ref is None:
+            raise ValueError(f"spec {spec_name} needs resolve_ref for {refs[0]}")
+        if _BARE_REF_RE.match(ca):
+            addrs = resolve_ref(refs[0]).select(F.col("user_id").alias("__addr"))
+        else:
+            spark = out.sparkSession
+            for r in set(refs):
+                resolve_ref(r).createOrReplaceTempView(_ref_view_name(r))
+            sql = REF_REGEX.sub(lambda m: _ref_view_name(m.group(1)), ca)
+            res = spark.sql(sql)
+            addrs = res.select(F.col(res.columns[0]).alias("__addr"))
+        return out.join(addrs, out["user_id"] == addrs["__addr"], "left_semi")
+    return out.where(F.col("user_id").cast("string").isin(_contract_literals(ca)))
 
 #: metadata columns every parsed table carries (the implicit schema of
 #: parse_table_definition_logic.py:428-481)
@@ -81,19 +146,8 @@ def compile_spec(
     # P5: selector predicate (topics[SAFE_OFFSET(0)] = selector)
     out = source.where(F.col("event_type") == p.selector)
 
-    # P6/J7: contract filter — literal or semi-join on a ref table
-    if p.contract_address:
-        m = REF_REGEX.search(p.contract_address)
-        if m:
-            if resolve_ref is None:
-                raise ValueError(f"spec {spec.name} needs resolve_ref for {m.group(1)}")
-            addrs = resolve_ref(m.group(1)).select(F.col("user_id").alias("__addr"))
-            out = out.join(
-                addrs, out["user_id"] == addrs["__addr"], "left_semi"
-            )
-        else:
-            lits = [v.strip() for v in p.contract_address.split(",")]
-            out = out.where(F.col("user_id").cast("string").isin(lits))
+    # P6/J7: contract filter — literal set / compiled ref subquery
+    out = _apply_contract_filter(out, p.contract_address, resolve_ref, spec.name)
 
     # F1-F3: payload decode. JSON payloads decode JVM-side (from_json,
     # whole-stage codegen — the fast path). Failure handling follows the
@@ -172,11 +226,14 @@ def compile_spec_hex(
     # selector: events match topic0; calls match the 4-byte data prefix
     # (parse_logs.sql:31 / parse_traces.sql selector filters)
     if p.type == "log":
-        # topics[0] (GetArrayItem) not element_at: same null-safe filter
-        # semantics, but element_at here trips a Spark whole-stage-codegen
-        # bug ("isNull not an rvalue") that silently drops the filter
-        # stage to interpreted execution
-        out = source.where(F.col("topics")[0] == p.selector)
+        # F.get (0-based, NULL on missing index) — the SAFE_OFFSET(0)
+        # analogue: a feed can carry EMPTY topics arrays (anonymous
+        # logs, call/trace rows in a mixed feed), which GetArrayItem
+        # rejects with INVALID_ARRAY_INDEX under ANSI mode instead of
+        # filtering. element_at is also out: it trips a whole-stage-
+        # codegen bug ("isNull not an rvalue") that silently drops the
+        # filter stage to interpreted execution.
+        out = source.where(F.get(F.col("topics"), 0) == p.selector)
     else:
         # call input = 4-byte selector + ABI-encoded args: filter on the
         # prefix, then strip it so the decoder sees only the args tuple
@@ -184,16 +241,7 @@ def compile_spec_hex(
             "data", F.substring(F.col("data"), len(p.selector) + 1, 1 << 30)
         )
 
-    if p.contract_address:
-        m = REF_REGEX.search(p.contract_address)
-        if m:
-            if resolve_ref is None:
-                raise ValueError(f"spec {spec.name} needs resolve_ref for {m.group(1)}")
-            addrs = resolve_ref(m.group(1)).select(F.col("user_id").alias("__addr"))
-            out = out.join(addrs, out["user_id"] == addrs["__addr"], "left_semi")
-        else:
-            lits = [v.strip() for v in p.contract_address.split(",")]
-            out = out.where(F.col("user_id").cast("string").isin(lits))
+    out = _apply_contract_filter(out, p.contract_address, resolve_ref, spec.name)
 
     field_triples = [(f.name, f.abi_type, f.indexed) for f in p.fields]
     decoded_types = {

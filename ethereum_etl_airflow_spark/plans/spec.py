@@ -94,6 +94,116 @@ class SpecValidationError(ValueError):
     pass
 
 
+#: contract_address grammar pinned by the reference's published
+#: JSON-Schema (test_cases/schema/default_schema.json anyOf): a
+#: lowercase 40-hex literal, NULL, a ref('X') subquery, or an inline
+#: UNNEST address list.  JSON-Schema ``pattern`` is UNANCHORED
+#: (re.search semantics) — the literal form anchors itself via ^..\Z.
+_ADDR_LITERAL_RE = re.compile(r"^0x[a-f0-9]{40}\Z")
+_ADDR_REF_SQL_RE = re.compile(r"SELECT .* FROM ref\('.*'\)")
+_ADDR_UNNEST_SQL_RE = re.compile(
+    r"SELECT .* FROM.*UNNEST\(\[(('0x[a-f0-9]{40}', )+)'0x[a-f0-9]{40}']\)"
+)
+
+
+def _require(cond: bool, msg: str) -> None:
+    if not cond:
+        raise SpecValidationError(msg)
+
+
+def validate_reference_def(d: dict) -> None:
+    """Schema-parity validation for REAL reference table definitions.
+
+    Re-expresses the constraints of the reference's published
+    JSON-Schema (``test_cases/schema/default_schema.json``, enforced by
+    ``tests/test_validate_json.py:41-73``) as native checks, so a def
+    the reference's CI would reject is rejected here too — notably the
+    ``contract_address`` grammar (its three fixtures ``wrong_a..c.json``
+    all fail on it: uppercase hex, free text, malformed subquery).
+
+    Only constraints the schema actually pins are checked; presence
+    requirements apply to keys, type/pattern constraints only when the
+    key is present (JSON-Schema semantics).
+    """
+    p, t = d.get("parser"), d.get("table")
+    _require(isinstance(p, dict), "parser must be an object")
+    _require(isinstance(t, dict), "table must be an object")
+    for key in ("abi", "contract_address", "type"):
+        _require(key in p, f"parser.{key} is required for reference defs")
+    abi = p["abi"]
+    _require(isinstance(abi, dict), "parser.abi must be an object")
+    for key in ("inputs", "name", "type"):
+        _require(key in abi, f"parser.abi.{key} is required")
+    _require(isinstance(abi["name"], str), "parser.abi.name must be a string")
+    _require(isinstance(abi["type"], str), "parser.abi.type must be a string")
+    if "anonymous" in abi:
+        _require(
+            isinstance(abi["anonymous"], bool),
+            "parser.abi.anonymous must be a boolean",
+        )
+    _require(isinstance(abi["inputs"], list), "parser.abi.inputs must be an array")
+    for i, inp in enumerate(abi["inputs"]):
+        _require(isinstance(inp, dict), f"abi.inputs[{i}] must be an object")
+        for key in ("name", "type"):
+            _require(key in inp, f"abi.inputs[{i}].{key} is required")
+        _require(
+            isinstance(inp["name"], str) and len(inp["name"]) >= 1,
+            f"abi.inputs[{i}].name must be a non-empty string",
+        )
+        _require(
+            isinstance(inp["type"], str), f"abi.inputs[{i}].type must be a string"
+        )
+        if "indexed" in inp:
+            _require(
+                isinstance(inp["indexed"], bool),
+                f"abi.inputs[{i}].indexed must be a boolean",
+            )
+        if "internalType" in inp:
+            _require(
+                isinstance(inp["internalType"], str),
+                f"abi.inputs[{i}].internalType must be a string",
+            )
+    if "field_mapping" in p:
+        _require(
+            isinstance(p["field_mapping"], dict),
+            "parser.field_mapping must be an object",
+        )
+    ca = p["contract_address"]
+    if ca is not None:
+        _require(
+            isinstance(ca, str)
+            and bool(
+                _ADDR_LITERAL_RE.search(ca)
+                or _ADDR_REF_SQL_RE.search(ca)
+                or _ADDR_UNNEST_SQL_RE.search(ca)
+            ),
+            f"parser.contract_address {ca!r} matches none of the allowed "
+            "forms (lowercase 0x-hex literal | null | ref() subquery | "
+            "UNNEST address list)",
+        )
+    for key in ("dataset_name", "schema", "table_description", "table_name"):
+        _require(key in t, f"table.{key} is required for reference defs")
+    for key in ("dataset_name", "table_description", "table_name"):
+        _require(isinstance(t[key], str), f"table.{key} must be a string")
+    _require(isinstance(t["schema"], list), "table.schema must be an array")
+    for i, col in enumerate(t["schema"]):
+        _require(isinstance(col, dict), f"table.schema[{i}] must be an object")
+        for key in ("name", "type"):
+            _require(key in col, f"table.schema[{i}].{key} is required")
+        _require(
+            isinstance(col["name"], str) and len(col["name"]) >= 1,
+            f"table.schema[{i}].name must be a non-empty string",
+        )
+        _require(
+            isinstance(col["type"], str), f"table.schema[{i}].type must be a string"
+        )
+        if "description" in col:
+            _require(
+                isinstance(col["description"], str),
+                f"table.schema[{i}].description must be a string",
+            )
+
+
 def _abi_type_string(inp: dict) -> str:
     """ABI input dict -> canonical type string our parser accepts.
     Tuples arrive as type 'tuple'/'tuple[]'/… plus a ``components``
@@ -182,7 +292,9 @@ def parse_spec(doc: dict | str, expected_name: str | None = None) -> ExtractionS
         # a real reference def: no parser.fields, no encoding key —
         # the ABI *is* the field list (possibly empty: zero-argument
         # events like Paused() still need their derived selector), and
-        # the decode is the hex path
+        # the decode is the hex path; such defs must satisfy the
+        # reference's published JSON-Schema constraints
+        validate_reference_def(d)
         raw_fields = _fields_from_abi(p, t)
         encoding = p.get("encoding", "hex")
     else:

@@ -178,8 +178,12 @@ def test_decode_asset_added_tuple_record(spark):
     d = _load(REAL_DEFS[3])
     spec = parse_spec(d)
     assert spec.refs == ("AeraVaultModulesFactory_event_AssetRegistryCreated",)
+    # the contract subquery is real SQL over the upstream output:
+    # `SELECT assetRegistry FROM ref(...)` — the factory's DECODED
+    # assetRegistry column carries the created registry address
     registries = spark.createDataFrame(
-        [("0x" + "a" * 40,)], "user_id string"
+        [("0x" + "f" * 40, "0x" + "a" * 40)],
+        "user_id string, assetRegistry string",
     )
     ev = spark.range(8).select(
         F.col("id").alias("event_id"),
