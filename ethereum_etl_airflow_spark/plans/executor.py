@@ -39,7 +39,12 @@ from pyspark.sql import functions as F
 
 from ethereum_etl_airflow_spark.plans.compiler import compile_spec
 from ethereum_etl_airflow_spark.plans.planner import PlannerState, commit_plan, plan
-from ethereum_etl_airflow_spark.plans.spec import REF_REGEX, ExtractionSpec, SqlViewSpec
+from ethereum_etl_airflow_spark.plans.spec import (
+    BQ_TABLE_REGEX,
+    REF_REGEX,
+    ExtractionSpec,
+    SqlViewSpec,
+)
 from ethereum_etl_airflow_spark.sinks.snapshot_table import SnapshotTable, bucket_expr
 
 #: feed column giving the monotone logical position (block-number analogue)
@@ -138,13 +143,22 @@ class ParseDatasetExecutor:
 
     def _create_view(self, spec: SqlViewSpec, outputs: dict[str, DataFrame]) -> DataFrame:
         # replace_refs analogue: register each upstream output as a temp
-        # view and substitute ref('X') with its mangled view name
+        # view, then substitute BOTH reference forms with the mangled
+        # view name — ``ref('X')`` and the pre-expanded backticked
+        # ``<project>.ethereum_<ds>.<table>`` the reference's own
+        # replace_refs emits (they are the same dependency edge).
+        # Views selecting chain-metadata columns the engine's feed
+        # contract doesn't carry (block_number, transaction_hash)
+        # fail Spark analysis with a clear unresolved-column error.
         sql = spec.sql
         for ref in spec.refs:
             if ref not in outputs:
                 raise ValueError(f"view {spec.name} references unknown spec {ref!r}")
             outputs[ref].createOrReplaceTempView(_view_name(ref))
         sql = REF_REGEX.sub(lambda m: _view_name(m.group(1)), sql)
+        sql = BQ_TABLE_REGEX.sub(
+            lambda m: _view_name(f"{m.group(1)}.{m.group(2)}"), sql
+        )
         df = self.spark.sql(sql)
         df.createOrReplaceTempView(_view_name(spec.name))
         return df

@@ -27,6 +27,16 @@ from dataclasses import dataclass, field
 
 REF_REGEX = re.compile(r"ref\(\s*'([^']+)'\s*\)")
 
+#: fully-qualified backticked table reference to another parse output,
+#: as the reference's own ``replace_refs`` emits them: ``ref('X')`` ->
+#: ``\`<project>.ethereum_<dataset>.<table>\`` (parse_table_definition_
+#: logic.py:409-413; dataset = 'ethereum_' + declared dataset_name at
+#: :34). The corpus' SQL views reference sibling parse tables in this
+#: pre-expanded form; raw-chain tables (``bigquery-public-data.
+#: crypto_ethereum.*``) and UDFs don't carry the ``ethereum_`` dataset
+#: prefix and intentionally do not match.
+BQ_TABLE_REGEX = re.compile(r"`[\w-]+\.ethereum_(\w+)\.(\w+)`")
+
 ALLOWED_TYPES = {"string", "bigint", "int", "double", "boolean", "decimal(38,9)"}
 
 #: JSON-payload field paths are single-level '$.key' (both decode paths
@@ -267,7 +277,21 @@ class SqlViewSpec:
 
     @property
     def refs(self) -> tuple[str, ...]:
-        return tuple(REF_REGEX.findall(self.sql))
+        """Dependency edges: ``ref('X')`` forms plus pre-expanded
+        backticked parse-table names (both are the same edge — the
+        reference's replace_refs turns the former into the latter)."""
+        names = list(REF_REGEX.findall(self.sql))
+        names += [
+            f"{m.group(1)}.{m.group(2)}"
+            for m in BQ_TABLE_REGEX.finditer(self.sql)
+        ]
+        seen: set[str] = set()
+        out = []
+        for n in names:
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+        return tuple(out)
 
     @property
     def content_hash(self) -> str:
