@@ -893,6 +893,63 @@ def parse_spec_ref_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "parse_spec_ref_subquery",
+    oracle="""
+    SELECT event_id, ts, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type = 'purchase'
+      AND user_id IN (
+          SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'signup'
+            AND CAST(json_extract_string(props, '$.k') AS BIGINT) < 30
+      )
+    """,
+    doc="contract_address as a REAL SQL subquery over ref('X') — the "
+    "dominant corpus form (1,188 defs): `SELECT DISTINCT col FROM "
+    "ref('X') WHERE ...` compiled by Spark SQL over the resolved "
+    "upstream temp view, then a left-semi join on the SELECTed column",
+    survey_ref="parse_logs.sql:18-30 contract_address_sql inlining; "
+    "parse_table_definition_logic.py:409-413 replace_refs",
+)
+def parse_spec_ref_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as ``parse_spec_ref_semijoin`` but the WHERE
+    lives INSIDE the contract subquery (the corpus' real shape, e.g.
+    aragon's ``SELECT proxy FROM ref('Kernel_event_NewAppProxy') WHERE
+    appId = '0x..'``) — exercising the spark.sql-compiled filter path
+    instead of a pre-filtered resolve_ref closure."""
+    from ethereum_etl_airflow_spark.plans.compiler import compile_spec
+    from ethereum_etl_airflow_spark.plans.spec import parse_spec
+
+    ev = _t(spark, sf_dir, "events")
+    signup_spec = parse_spec(
+        {
+            "parser": {
+                "type": "log",
+                "selector": "signup",
+                "contract_address": None,
+                "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+            },
+            "table": {"dataset_name": "demo", "table_name": "signup_users"},
+        }
+    )
+    spec = parse_spec(
+        {
+            "parser": {
+                "type": "log",
+                "selector": "purchase",
+                "contract_address": "SELECT DISTINCT user_id "
+                "FROM ref('demo.signup_users') WHERE k < 30",
+                "fields": [{"name": "k", "path": "$.k", "type": "bigint"}],
+            },
+            "table": {"dataset_name": "demo", "table_name": "purchases_sub"},
+        }
+    )
+    signups = compile_spec(signup_spec, ev)  # UNfiltered — the subquery filters
+    return compile_spec(spec, ev, resolve_ref=lambda name: signups)
+
+
+@register(
     "parse_spec_pandas_decode",
     oracle=_PARSE_ORACLE,
     doc="same spec through the Arrow pandas-UDF decode path (vectorized parity)",
