@@ -26,8 +26,8 @@ while time.time() < deadline and best_eff < 0.75:
         os.environ,
         SPARK_GRAFT_HEADLINE="0",
         SPARK_GRAFT_MAIN="0",
-        SPARK_GRAFT_SCALE_TRIALS="2",
-        SPARK_GRAFT_SCALE_ATTEMPTS="2",
+        SPARK_GRAFT_SCALE_TRIALS="1",  # short attempts fit flickering windows
+        SPARK_GRAFT_SCALE_ATTEMPTS="4",
         SPARK_GRAFT_SCALE_BUDGET_SEC=str(int(inner)),
         SPARK_GRAFT_BENCH_OUT="/tmp/hunter_bench_full.json",
     )
