@@ -48,7 +48,15 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(DEFS), reason="reference table_definitions not present"
 )
 
-FOLDERS = ["mellow", "aera", "decentraland", "prisma", "sushiswap"]
+FOLDERS = [
+    "mellow",
+    "aera",
+    "decentraland",
+    "prisma",
+    "sushiswap",
+    "gnosis",  # 11 defs, factory ref chain (SELECT instantiation FROM ref)
+    "idex",  # 4 defs, bare literals
+]
 
 ROWS_PER_SPEC = 2
 
